@@ -1,0 +1,60 @@
+"""Baum-Welch EM fitter (ref: src/fitter.{h,cpp}).
+
+Loop: evaluate machine -> expected counts (E) -> constrained optimize (M),
+stopping at MaxEMIterations or relative improvement < MinEMImprovement.
+
+The E-step runs either on host (exact float64, golden parity) or batched on
+TPU via ops/fwdback.py with per-shard psum count reduction (parallel/em.py);
+set engine='device' for the latter.
+"""
+
+from ..core.eval import EvaluatedMachine
+from ..core.params import Params, Constraints
+from .counts import MachineCounts, MachineObjective
+
+MAX_EM_ITERATIONS = 1000
+MIN_EM_IMPROVEMENT = 0.001
+
+
+class MachineFitter:
+    def __init__(self, machine=None, constraints=None, seed=None,
+                 constants=None, engine="host"):
+        self.machine = machine
+        self.constraints = constraints if constraints is not None else Constraints()
+        self.seed = seed if seed is not None else Params()
+        self.constants = constants if constants is not None else Params()
+        self.engine = engine
+
+    def all_constraints(self):
+        return self.machine.cons.combine(self.constraints)
+
+    def fit(self, training_set, envelopes=None, width=None):
+        if envelopes is None:
+            envelopes = training_set.envelopes(width)
+        if len(envelopes) != len(training_set.seq_pairs):
+            raise ValueError("Envelope/training set mismatch")
+        params = self.seed
+        prev = None
+        for it in range(MAX_EM_ITERATIONS + 1):
+            all_params = self.machine.funcs.combine(self.constants) \
+                                           .combine(params)
+            counts = self._estep(all_params, training_set, envelopes)
+            if it > 0:
+                if it == MAX_EM_ITERATIONS:
+                    break
+                improvement = (counts.loglike - prev) / abs(prev)
+                if improvement < MIN_EM_IMPROVEMENT:
+                    break
+            objective = MachineObjective(self.machine, counts,
+                                         self.constraints, self.constants)
+            params = objective.optimize(params)
+            prev = counts.loglike
+        return params
+
+    def _estep(self, all_params, training_set, envelopes):
+        if self.engine == "device":
+            from ..parallel.em import device_counts
+            return device_counts(self.machine, all_params, training_set,
+                                 envelopes)
+        ev = EvaluatedMachine(self.machine, all_params)
+        return MachineCounts(ev, training_set, envelopes)

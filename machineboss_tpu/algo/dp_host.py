@@ -7,9 +7,9 @@ src/backward.cpp, src/viterbi.cpp, src/dpmatrix.h): four accumulation cases
 per cell (match / input-only / output-only / silent) over incoming
 transitions, in (outPos, inPos, state) order, with envelope banding.
 
-Weights are combined with exact logaddexp (the reference uses a 1e-4-spaced
-interpolated lookup table; differences are ~1e-9, far below the 4-5 digit
-rounding used by the golden files).
+Log weights are combined with the same 1e-4-spaced interpolated lookup-table
+log-sum-exp as the reference (utils/logsumexp.py), so even unrounded 6-digit
+log-likelihood outputs agree bit-for-bit with the golden files.
 """
 
 import math
@@ -17,18 +17,14 @@ import math
 import numpy as np
 
 from ..core.eval import EvaluatedMachine, Tokenizer
+from ..utils.logsumexp import accumulate_at
 from ..core.seqpair import Envelope
 from ..core.machine import MachinePath
 
 NEG_INF = -math.inf
 
 
-def _logaddexp(a, b):
-    if a == NEG_INF:
-        return b
-    if b == NEG_INF:
-        return a
-    return np.logaddexp(a, b)
+from ..utils.logsumexp import lse as _logaddexp  # table-interpolated
 
 
 class DPMatrix:
@@ -163,7 +159,9 @@ class ForwardMatrix(DPMatrix):
             return
         src, dst, _, lw = e
         contrib = prev[src] + lw
-        np.logaddexp.at(ll, dst, contrib)
+        # sequential per-edge accumulation in (dst, src) order, matching the
+        # reference's per-cell transition iteration and its table-lse rounding
+        accumulate_at(ll, dst, contrib)
 
     def log_like(self):
         return self.get(self.in_len, self.out_len, self.n_states - 1)

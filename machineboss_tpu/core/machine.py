@@ -40,6 +40,23 @@ def name_dump(name):
                        ensure_ascii=False)
 
 
+def _is_json_pair(v):
+    return isinstance(v, list) and len(v) == 2 and isinstance(v[0], str)
+
+
+def make_pair_name(a, b):
+    """Composite state name, replicating nlohmann::json brace-initialization:
+    {a, b} becomes an OBJECT {a[0]:a[1], b[0]:b[1]} when both elements are
+    2-element arrays whose first element is a string, else the array [a, b].
+    Duplicate keys keep the first value (std::map emplace semantics)."""
+    if _is_json_pair(a) and _is_json_pair(b):
+        obj = {a[0]: a[1]}
+        if b[0] not in obj:
+            obj[b[0]] = b[1]
+        return obj
+    return [a, b]
+
+
 class Transition:
     __slots__ = ("in_", "out", "dest", "weight")
 
@@ -622,8 +639,8 @@ class Machine:
         if assign_state_names:
             for k, c in enumerate(kept):
                 i, j = divmod(c, j_states)
-                comp.states[k].name = [first.states[i].name,
-                                       second.states[j].name]
+                comp.states[k].name = make_pair_name(
+                    first.states[i].name, second.states[j].name)
         for k, c in enumerate(kept):
             i, j = divmod(c, j_states)
             msi, msj = first.states[i], second.states[j]
@@ -678,7 +695,8 @@ class Machine:
             for j in range(nj):
                 ms = inter.states[i * nj + j]
                 if assign:
-                    ms.name = [first.states[i].name, second.states[j].name]
+                    ms.name = make_pair_name(first.states[i].name,
+                                             second.states[j].name)
                 msi, msj = first.states[i], second.states[j]
                 if msj.waits() or msj.terminates():
                     for it in msi.trans:

@@ -67,6 +67,8 @@ def write_escaped(s):
 
 
 def json_dumps_compact(obj):
-    """nlohmann::json dump() compatible compact serialization (no spaces)."""
+    """nlohmann::json dump() compatible compact serialization (no spaces,
+    object keys sorted as in std::map)."""
     import json as _json
-    return _json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+    return _json.dumps(obj, separators=(",", ":"), sort_keys=True,
+                       ensure_ascii=False)

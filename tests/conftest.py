@@ -1,0 +1,18 @@
+import os
+import sys
+
+# run JAX on a virtual 8-device CPU mesh for sharding tests; the real-TPU
+# bench path is exercised by bench.py, not the unit suite
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") +
+     " --xla_force_host_platform_device_count=8").strip())
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF = "/root/reference"
+
+
+def ref_path(*parts):
+    return os.path.join(REF, *parts)

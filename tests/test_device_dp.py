@@ -1,0 +1,186 @@
+"""Device (JAX) DP engines vs the exact host oracle.
+
+Mirrors the reference's cross-backend agreement discipline
+(ref: python/machineboss/jax/test strategy, API.md): every device variant
+must agree with the interpreter within 0.01 nats.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import REF
+
+import jax.numpy as jnp
+
+from machineboss_tpu.core.machine import Machine
+from machineboss_tpu.core.params import param_assign_from_json
+from machineboss_tpu.core.eval import EvaluatedMachine
+from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+from machineboss_tpu.algo.dp_host import ForwardMatrix, ViterbiMatrix, \
+    BackwardMatrix
+from machineboss_tpu.ops.lowering import LoweredMachine
+from machineboss_tpu.ops import dp1d, dp2d
+from machineboss_tpu.ops.semiring import LOGSUMEXP, MAXPLUS
+
+import json
+
+TOL = 1e-2
+
+
+def _load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def bitnoise():
+    m = Machine.from_file(REF + "/t/machine/bitnoise.json")
+    params = param_assign_from_json(_load(REF + "/t/io/params.json"))
+    return m, params
+
+
+def stutter_noise():
+    m = Machine.from_file(REF + "/t/machine/bitstutter-noise.json")
+    params = param_assign_from_json(_load(REF + "/t/io/params.json"))
+    return m, params
+
+
+def _sp(in_seq, out_seq):
+    return SeqPair(NamedSeq("in", list(in_seq)), NamedSeq("out", list(out_seq)))
+
+
+CASES_2D = [
+    ("101", "001"), ("101", "0011"), ("", ""), ("1101", "1"),
+    ("10101110", "01101011"),
+]
+
+
+@pytest.mark.parametrize("in_seq,out_seq", CASES_2D)
+@pytest.mark.parametrize("mfn", [bitnoise, stutter_noise])
+@pytest.mark.parametrize("assoc", [False, True])
+def test_forward_2d(mfn, in_seq, out_seq, assoc):
+    m, params = mfn()
+    ev = EvaluatedMachine(m, params)
+    host = ForwardMatrix(ev, _sp(in_seq, out_seq)).log_like()
+    lm = LoweredMachine(ev, dtype=np.float32)
+    a_diag, a_left, a_up, closure = lm.matrices_2d()
+    in_toks = jnp.array([ev.input_tokenizer.sym2tok[c] - 1 for c in in_seq],
+                        dtype=jnp.int32)
+    out_toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in out_seq],
+                         dtype=jnp.int32)
+    dev = dp2d.forward_2d(jnp.array(a_diag), jnp.array(a_left),
+                          jnp.array(a_up), jnp.array(closure),
+                          in_toks, out_toks, len(in_seq), len(out_seq),
+                          sr=LOGSUMEXP, assoc=assoc)
+    dev = float(dev)
+    if host == -np.inf:
+        assert dev < -1e20
+    else:
+        assert abs(dev - host) < TOL, (host, dev)
+
+
+@pytest.mark.parametrize("in_seq,out_seq", CASES_2D)
+@pytest.mark.parametrize("mfn", [bitnoise, stutter_noise])
+def test_viterbi_2d(mfn, in_seq, out_seq):
+    m, params = mfn()
+    ev = EvaluatedMachine(m, params)
+    host = ViterbiMatrix(ev, _sp(in_seq, out_seq)).log_like()
+    lm = LoweredMachine(ev, dtype=np.float32)
+    a_diag, a_left, a_up, closure = lm.matrices_2d("maxplus")
+    in_toks = jnp.array([ev.input_tokenizer.sym2tok[c] - 1 for c in in_seq],
+                        dtype=jnp.int32)
+    out_toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in out_seq],
+                         dtype=jnp.int32)
+    dev = float(dp2d.forward_2d(jnp.array(a_diag), jnp.array(a_left),
+                                jnp.array(a_up), jnp.array(closure),
+                                in_toks, out_toks, len(in_seq), len(out_seq),
+                                sr=MAXPLUS))
+    if host == -np.inf:
+        assert dev < -1e20
+    else:
+        assert abs(dev - host) < TOL, (host, dev)
+
+
+def test_backward_2d_matches_host():
+    m, params = stutter_noise()
+    ev = EvaluatedMachine(m, params)
+    sp = _sp("101", "0011")
+    host = BackwardMatrix(ev, sp)
+    lm = LoweredMachine(ev, dtype=np.float64)
+    a_diag, a_left, a_up, closure = lm.matrices_2d()
+    in_toks = jnp.array([ev.input_tokenizer.sym2tok[c] - 1 for c in "101"],
+                        dtype=jnp.int32)
+    out_toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in "0011"],
+                         dtype=jnp.int32)
+    b = np.array(dp2d.backward_2d_lattice(
+        jnp.array(a_diag), jnp.array(a_left), jnp.array(a_up),
+        jnp.array(closure), in_toks, out_toks))
+    for i in range(4):
+        for o in range(5):
+            for s in range(ev.n_states()):
+                hv = host.cell[i, o, s]
+                dv = b[o, i, s]
+                if hv == -np.inf:
+                    assert dv < -1e20, (i, o, s, hv, dv)
+                else:
+                    assert abs(dv - hv) < TOL, (i, o, s, hv, dv)
+
+
+def _recognizer_1d():
+    """bitnoise composed with a recognizer: input-only machine."""
+    m, params = bitnoise()
+    rec = Machine.recognizer(list("001"))
+    comp = Machine.compose(m, rec)
+    comp2 = comp.silence_output() if comp.output_alphabet() else comp
+    return comp2, params
+
+
+def test_forward_1d_generator():
+    # CSV profile generator (output only)
+    from machineboss_tpu.core.csvprof import CSVProfile
+    gen = CSVProfile.from_file(REF + "/t/csv/test.csv").machine()
+    params = param_assign_from_json({})
+    ev = EvaluatedMachine(gen, params)
+    out_seq = ["A", "C"]
+    host = ForwardMatrix(ev, _sp("", out_seq)).log_like()
+    lm = LoweredMachine(ev, dtype=np.float32)
+    trans, closure = lm.emit_matrices_1d(output_side=True)
+    toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in out_seq],
+                     dtype=jnp.int32)
+    for fn in (dp1d.forward_1d_scan, dp1d.forward_1d_assoc):
+        dev = float(fn(jnp.array(trans), jnp.array(closure), toks,
+                       len(out_seq), sr=LOGSUMEXP))
+        assert abs(dev - host) < TOL, (fn.__name__, host, dev)
+
+
+def test_forward_1d_viterbi_generator():
+    from machineboss_tpu.core.csvprof import CSVProfile
+    gen = CSVProfile.from_file(REF + "/t/csv/test.csv").machine()
+    params = param_assign_from_json({})
+    ev = EvaluatedMachine(gen, params)
+    out_seq = ["A", "C"]
+    host = ViterbiMatrix(ev, _sp("", out_seq)).log_like()
+    lm = LoweredMachine(ev, dtype=np.float32)
+    trans, closure = lm.emit_matrices_1d(output_side=True, semiring="maxplus")
+    toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in out_seq],
+                     dtype=jnp.int32)
+    dev = float(dp1d.forward_1d_scan(jnp.array(trans), jnp.array(closure),
+                                     toks, len(out_seq), sr=MAXPLUS))
+    assert abs(dev - host) < TOL, (host, dev)
+
+
+def test_1d_padding_mask():
+    """Padded positions must not change the result."""
+    from machineboss_tpu.core.csvprof import CSVProfile
+    gen = CSVProfile.from_file(REF + "/t/csv/test.csv").machine()
+    params = param_assign_from_json({})
+    ev = EvaluatedMachine(gen, params)
+    out_seq = ["A", "C"]
+    lm = LoweredMachine(ev, dtype=np.float32)
+    trans, closure = lm.emit_matrices_1d(output_side=True)
+    toks = [ev.output_tokenizer.sym2tok[c] - 1 for c in out_seq]
+    padded = jnp.array(toks + [0, 0, 0], dtype=jnp.int32)
+    exact = jnp.array(toks, dtype=jnp.int32)
+    for fn in (dp1d.forward_1d_scan, dp1d.forward_1d_assoc):
+        a = float(fn(jnp.array(trans), jnp.array(closure), exact, 2))
+        b = float(fn(jnp.array(trans), jnp.array(closure), padded, 2))
+        assert abs(a - b) < 1e-5, (fn.__name__, a, b)

@@ -52,7 +52,7 @@ def main():
     import jax.numpy as jnp
     from machineboss_tpu.core.eval import EvaluatedMachine
     from machineboss_tpu.ops.lowering import LoweredMachine
-    from machineboss_tpu.ops.wavefront import forward_2d_wavefront
+    from machineboss_tpu.ops.wavefront_fast import forward_2d_wavefront_fast
     from machineboss_tpu.ops.semiring import LOGSUMEXP
 
     S = int(os.environ.get("BENCH_S", "64"))
@@ -73,9 +73,9 @@ def main():
     out_lens = jnp.full((B,), L, jnp.int32)
 
     def run():
-        return forward_2d_wavefront(a_diag, a_left, a_up, closure,
-                                    in_toks, out_toks, in_lens, out_lens,
-                                    sr=LOGSUMEXP)
+        return forward_2d_wavefront_fast(a_diag, a_left, a_up, closure,
+                                         in_toks, out_toks, in_lens,
+                                         out_lens)
 
     # warmup/compile
     out = run()

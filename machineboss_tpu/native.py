@@ -1,0 +1,74 @@
+"""ctypes bridge to the native host core (native/libmbcore.so).
+
+The native library implements the hot host-side graph operations (compose,
+advance-sort, advancing-machine, ergodic trim) with hash-consed expression
+arenas; outputs are byte-identical to the Python implementations, which
+remain the reference and the fallback when the library is not built.
+
+Build with: make -C native
+"""
+
+import ctypes
+import json
+import os
+
+_LIB = None
+_LIB_TRIED = False
+
+_SO_PATH = os.path.join(os.path.dirname(__file__), "..", "native",
+                        "libmbcore.so")
+
+
+def load_library():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    if not os.path.exists(_SO_PATH):
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.mb_compose.restype = ctypes.c_void_p
+    lib.mb_compose.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                               ctypes.c_int]
+    lib.mb_transform.restype = ctypes.c_void_p
+    lib.mb_transform.argtypes = [ctypes.c_char_p]
+    lib.mb_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available():
+    return load_library() is not None
+
+
+def _take_string(lib, ptr):
+    try:
+        return ctypes.string_at(ptr).decode("utf-8")
+    finally:
+        lib.mb_free(ptr)
+
+
+def compose_json(a_json_text, b_json_text, cycle_strategy=2):
+    """Compose two machine JSON documents natively; returns machine JSON
+    text in the framework's canonical format."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    ptr = lib.mb_compose(a_json_text.encode(), b_json_text.encode(),
+                         cycle_strategy)
+    out = _take_string(lib, ptr)
+    if out.startswith('{"error"'):
+        raise RuntimeError(json.loads(out)["error"])
+    return out
+
+
+def transform_json(machine_json_text, op):
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    req = json.dumps({"op": op, "machine": json.loads(machine_json_text)})
+    ptr = lib.mb_transform(req.encode())
+    out = _take_string(lib, ptr)
+    if out.startswith('{"error"'):
+        raise RuntimeError(json.loads(out)["error"])
+    return out

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.eval import EvaluatedMachine
 from ..ops.fwdback import CountModel, tokenize_batch
@@ -34,7 +34,7 @@ def sharded_counts_fn(model: CountModel, mesh):
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
-        out_specs=(P(), P()))
+        out_specs=(P(), P()), check_vma=False)
     return jax.jit(mapped)
 
 

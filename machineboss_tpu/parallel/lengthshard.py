@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.semiring import LOGSUMEXP
 
@@ -62,5 +62,5 @@ def length_sharded_forward_fn(mesh, sr=LOGSUMEXP, axis="len"):
 
     mapped = shard_map(shard_fn, mesh=mesh,
                        in_specs=(P(), P(), P(axis), P()),
-                       out_specs=P())
+                       out_specs=P(), check_vma=False)
     return jax.jit(mapped)

@@ -139,3 +139,62 @@ def backward_2d_lattice(a_diag, a_left, a_up, closure, in_toks, out_toks,
                             in_toks[::-1], out_toks[::-1],
                             solver, sr, True, start_vec=eN)
     return lattice_r[::-1, ::-1, :]
+
+
+def _row_scan_banded(u, left_mats, closure, sr, in_band):
+    """Banded row solver: cells outside the envelope band are forced to the
+    semiring zero inside the recurrence, so in-row chains cannot pass
+    through them (matching the host's banded DP exactly).
+
+    in_band: (Li+1,) bool for this row."""
+    f0 = sr.vecmat(u[0], closure)
+    f0 = jnp.where(in_band[0], f0, sr.zero)
+
+    def step(f_prev, inp):
+        u_i, m_i, band_i = inp
+        f_i = sr.vecmat(sr.add(u_i, sr.vecmat(f_prev, m_i)), closure)
+        f_i = jnp.where(band_i, f_i, sr.zero)
+        return f_i, f_i
+
+    _, rest = jax.lax.scan(step, f0, (u[1:], left_mats[1:], in_band[1:]))
+    return jnp.concatenate([f0[None], rest], axis=0)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def forward_2d_banded(a_diag, a_left, a_up, closure, in_toks, out_toks,
+                      in_start, in_end, in_len, out_len, sr=LOGSUMEXP):
+    """Envelope-banded 2D Forward (ref: the Envelope of src/seqpair.h:75-113
+    lowered to per-row masks): cells with i outside [in_start[o], in_end[o])
+    are excluded from every path.
+
+    in_start/in_end: (Lo+1,) int arrays (the envelope rows; for padded rows
+    beyond out_len pass [0, Li+1))."""
+    S = closure.shape[-1]
+    Li = in_toks.shape[0]
+    dtype = closure.dtype
+    i_idx = jnp.arange(Li + 1)
+
+    left_mats = jnp.concatenate(
+        [jnp.full((1, S, S), sr.zero, dtype), a_left[in_toks]], axis=0)
+
+    band0 = (i_idx >= in_start[0]) & (i_idx < in_end[0])
+    u0 = jnp.full((Li + 1, S), sr.zero, dtype).at[0].set(
+        _e0(S, dtype, sr))
+    row0 = _row_scan_banded(u0, left_mats, closure, sr, band0)
+
+    def row_step(carry, inp):
+        prev_row = carry
+        out_tok, o = inp
+        band = (i_idx >= in_start[o]) & (i_idx < in_end[o])
+        up = a_up[out_tok]
+        diag = a_diag[in_toks, out_tok]
+        u_up = sr.vecmat(prev_row, up[None])
+        u_diag = jax.vmap(sr.vecmat)(prev_row[:-1], diag)
+        u = u_up.at[1:].set(sr.add(u_up[1:], u_diag))
+        row = _row_scan_banded(u, left_mats, closure, sr, band)
+        return row, None
+
+    Lo = out_toks.shape[0]
+    final_row, _ = jax.lax.scan(
+        row_step, row0, (out_toks, jnp.arange(1, Lo + 1)))
+    return final_row[in_len, S - 1]

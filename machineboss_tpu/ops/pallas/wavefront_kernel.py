@@ -1,0 +1,242 @@
+"""Pallas TPU wavefront kernel: HBM-free anti-diagonal 2D Forward.
+
+The jnp wavefront engines round-trip every diagonal slab and every
+token-selected matmul intermediate through HBM (~100 MB/step), which caps
+throughput far below the MXU's. This kernel keeps the two live diagonal
+slabs in VMEM scratch that persists across the sequential grid (one grid
+step per anti-diagonal), so per-step HBM traffic is zero.
+
+Layout and numerics:
+  - slabs are TRANSPOSED (S, cells) with cells = B * W_pad, W_pad
+    lane-aligned, so state vectors live on sublanes and cells on lanes —
+    no tile padding waste for S=64, and neighbor shifts are lane rolls
+  - scaled-probability carry: slab holds p in [0,1] with per-cell log
+    scale m (1, cells); all matmuls run in probability space on the MXU,
+    exp/log touch only the scale vectors
+  - token-conditioned matrices are concatenated row-wise (diag Ti*To*S x S)
+    and applied as one wide matmul per neighbor class, with one-hot masks
+    selecting each cell's block — full systolic utilization at a
+    small-alphabet redundancy factor
+  - per-step validity masks zero cells outside the lattice; each
+    sequence's readout cell is captured into a (1, cells) result vector
+    when its final diagonal is processed
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
+                      # refs:
+                      diag_cat_ref, left_cat_ref, up_cat_ref, closure_ref,
+                      xoh_ref, ydiag_ref, icell_ref, dfin_ref,
+                      res_ref,
+                      slabA, slabB, mA, mB):
+    d = pl.program_id(0)
+    cells = B * W
+    chunk = cells // n_chunks
+
+    i_cells = icell_ref[:]                      # (1, cells) i index per cell
+    valid = (i_cells <= d) & (i_cells >= d - Lo) & (i_cells <= Li)
+
+    @pl.when(d == 0)
+    def _init():
+        init_mask = ((i_cells == 0) & valid).astype(jnp.float32)
+        row0 = closure_ref[:, 0:1]              # closure^T col 0 = C[0, :]
+        slabB[:] = row0 * init_mask
+        mB[:] = jnp.where(init_mask > 0, 0.0, NEG_INF)
+        slabA[:] = jnp.zeros_like(slabA)
+        mA[:] = jnp.full_like(mA, NEG_INF)
+        endp = slabB[S - 1:S, :]
+        val0 = jnp.where(endp > 0,
+                         jnp.log(jnp.maximum(endp, 1e-37)),
+                         jnp.full_like(mB, NEG_INF))
+        res_ref[:] = jnp.where((dfin_ref[:] == 0) & (init_mask > 0), val0,
+                               jnp.full_like(mB, NEG_INF))
+
+    def body(p1_ref, m1_ref, p2_ref, m2_ref):
+        m1 = m1_ref[:]                           # (1, cells)
+        m2 = m2_ref[:]
+        boundary = i_cells > 0
+        m1s = jnp.where(boundary, pltpu.roll(m1, 1, 1), NEG_INF)
+        m2s = jnp.where(boundary, pltpu.roll(m2, 1, 1), NEG_INF)
+        mu = jnp.maximum(jnp.maximum(m1, m1s), m2s)
+        mu_safe = jnp.where(mu > NEG_INF / 2, mu, 0.0)
+        w_up = jnp.exp(m1 - mu_safe) * (m1 > NEG_INF / 2)
+        w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+        w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+
+        # y one-hot for this diagonal, streamed in by the grid block spec
+        yoh = ydiag_ref[0]                                # (To, cells)
+        xoh = xoh_ref[:]                                  # (Ti, cells)
+
+        p1v = p1_ref[:]                                   # (S, cells)
+        p2v = p2_ref[:]
+        p1s = jnp.where(boundary, pltpu.roll(p1v, 1, 1), 0.0)
+        p2s = jnp.where(boundary, pltpu.roll(p2v, 1, 1), 0.0)
+
+        def mm(mat_ref, x):
+            return jax.lax.dot_general(
+                mat_ref[:], x, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+
+        for c in range(n_chunks):
+            lo_c, hi_c = c * chunk, (c + 1) * chunk
+            up_all = mm(up_cat_ref, p1v[:, lo_c:hi_c])      # (To*S, chunk)
+            left_all = mm(left_cat_ref, p1s[:, lo_c:hi_c])  # (Ti*S, chunk)
+            diag_all = mm(diag_cat_ref, p2s[:, lo_c:hi_c])  # (Ti*To*S, chunk)
+
+            yoh_c = yoh[:, lo_c:hi_c]
+            xoh_c = xoh[:, lo_c:hi_c]
+            u = jnp.zeros((S, chunk), jnp.float32)
+            for t in range(To):
+                u += up_all[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :] \
+                    * w_up[:, lo_c:hi_c]
+            for t in range(Ti):
+                u += left_all[t * S:(t + 1) * S, :] * xoh_c[t:t + 1, :] \
+                    * w_left[:, lo_c:hi_c]
+            for ti in range(Ti):
+                for to in range(To):
+                    blk = (ti * To + to) * S
+                    u += diag_all[blk:blk + S, :] \
+                        * (xoh_c[ti:ti + 1, :] * yoh_c[to:to + 1, :]) \
+                        * w_diag[:, lo_c:hi_c]
+            cur = jax.lax.dot_general(
+                closure_ref[:], u, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            p2_ref[:, lo_c:hi_c] = cur
+
+        curv = p2_ref[:]
+        mx = jnp.max(curv, axis=0, keepdims=True)            # (1, cells)
+        has = (mx > 0) & valid
+        curv = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
+        m_new = jnp.where(has, mu + jnp.log(jnp.maximum(mx, 1e-37)),
+                          NEG_INF)
+        p2_ref[:] = curv
+        m2_ref[:] = m_new
+
+        fin = (dfin_ref[:] == d) & has
+        endp = curv[S - 1:S, :]
+        val = jnp.where(endp > 0,
+                        m_new + jnp.log(jnp.maximum(endp, 1e-37)),
+                        jnp.full_like(m_new, NEG_INF))
+        res_ref[:] = jnp.where(fin, val, res_ref[:])
+
+    @pl.when((d > 0) & (d % 2 == 1))
+    def _odd():
+        body(slabB, mB, slabA, mA)
+
+    @pl.when((d > 0) & (d % 2 == 0))
+    def _even():
+        body(slabA, mA, slabB, mB)
+
+
+def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
+                           precision=jax.lax.Precision.HIGHEST,
+                           n_chunks=None, interpret=False):
+    """Build the pallas wavefront Forward for fixed machine tensors/shapes.
+
+    Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
+    -> (B,) log-likelihoods."""
+    Ti, To, S, _ = a_diag.shape
+    W = _round_up(Li + 1, 256)
+    cells = B * W
+    if n_chunks is None:
+        # keep the diag intermediate (Ti*To*S x chunk) around ~4MB
+        target = max(1, (Ti * To * S * 4 * cells) // (4 << 20))
+        n_chunks = 1
+        while n_chunks < target and (cells // (n_chunks * 2)) % 128 == 0 \
+                and cells % (n_chunks * 2) == 0:
+            n_chunks *= 2
+    chunk0 = cells // n_chunks
+    assert chunk0 * n_chunks == cells and chunk0 % 128 == 0, \
+        "cells must split into lane-aligned chunks"
+
+    # probability-space concatenated matrices, transposed so that
+    # out (S', chunk) = M^T (S', S) @ p (S, chunk)
+    diag_p = np.exp(np.maximum(np.asarray(a_diag, np.float64), -700))
+    left_p = np.exp(np.maximum(np.asarray(a_left, np.float64), -700))
+    up_p = np.exp(np.maximum(np.asarray(a_up, np.float64), -700))
+    closure_p = np.exp(np.maximum(np.asarray(closure, np.float64), -700))
+    diag_cat = np.ascontiguousarray(
+        np.transpose(diag_p.reshape(Ti * To, S, S), (0, 2, 1))
+        .reshape(Ti * To * S, S)).astype(np.float32)
+    left_cat = np.ascontiguousarray(
+        np.transpose(left_p, (0, 2, 1)).reshape(Ti * S, S)) \
+        .astype(np.float32)
+    up_cat = np.ascontiguousarray(
+        np.transpose(up_p, (0, 2, 1)).reshape(To * S, S)).astype(np.float32)
+    closure_t = np.ascontiguousarray(closure_p.T).astype(np.float32)
+
+    i_cell = np.tile(np.arange(W, dtype=np.int32), B)[None, :]
+
+    n_diags = Li + Lo + 1
+
+    kernel = functools.partial(_wavefront_kernel, Ti, To, S, B, W, Li,
+                               Lo, n_chunks, precision)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_diags,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
+            pl.BlockSpec((1, To, cells), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),           # ydiag
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # icell
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # dfin
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, cells), jnp.float32),
+            pltpu.VMEM((S, cells), jnp.float32),
+            pltpu.VMEM((1, cells), jnp.float32),
+            pltpu.VMEM((1, cells), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def forward(in_toks, out_toks, in_lens, out_lens):
+        i_idx = jnp.arange(W)
+        Li_c = max(Li, 1)
+        x_gather = jnp.where(
+            (i_idx[None, :] >= 1) & (i_idx[None, :] <= Li),
+            in_toks[:, jnp.clip(i_idx - 1, 0, Li_c - 1)] if Li else -1, -1)
+        xoh = jax.nn.one_hot(x_gather, Ti, axis=-1, dtype=jnp.float32)
+        xoh_t = jnp.transpose(xoh, (2, 0, 1)).reshape(Ti, cells)
+
+        # per-diagonal y one-hots: for diagonal d, cell i has o-1 = d-1-i
+        d_idx = jnp.arange(n_diags)
+        o_minus_1 = d_idx[:, None] - 1 - i_idx[None, :]      # (n_diags, W)
+        Lo_c = max(Lo, 1)
+        y_gather = jnp.where(
+            (o_minus_1[None] >= 0) & (o_minus_1[None] <= Lo - 1),
+            (out_toks[:, jnp.clip(o_minus_1, 0, Lo_c - 1)] if Lo
+             else -1), -1)                                    # (B, nd, W)
+        yoh = jax.nn.one_hot(y_gather, To, axis=-1, dtype=jnp.float32)
+        # (B, nd, W, To) -> (nd, To, B*W)
+        ydiag = jnp.transpose(yoh, (1, 3, 0, 2)).reshape(n_diags, To, cells)
+
+        dfin_cells = jnp.full((1, cells), jnp.int32(-1))
+        cell_ids = jnp.arange(B) * W + in_lens.astype(jnp.int32)
+        dfin_cells = dfin_cells.at[0, cell_ids].set(
+            (in_lens + out_lens).astype(jnp.int32))
+
+        res_cells = call(jnp.array(diag_cat), jnp.array(left_cat),
+                         jnp.array(up_cat), jnp.array(closure_t),
+                         xoh_t, ydiag, jnp.array(i_cell), dfin_cells)
+        return res_cells[0, cell_ids]
+
+    return forward

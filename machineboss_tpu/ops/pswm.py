@@ -1,0 +1,62 @@
+"""PSWM (profile) sequence inputs for the device DP engines.
+
+A PSWM sequence is a (L, n_tokens) matrix of per-position log source
+weights, column 0 = epsilon (position may be skipped with that weight),
+columns 1.. = alphabet tokens — the uncertainty-aware generalization of a
+token sequence (one-hot rows reduce exactly to the token case). Used for
+base-caller posteriors (nanopore), sequence profiles, and soft labels.
+
+The 1D transfer matrix for a PSWM position folds the emission distribution
+into the token-conditioned matrices:
+
+    M_p = [ sum_t exp(pswm[p, t]) * E_t  (+)  exp(pswm[p, 0]) * I ] (x) C
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .semiring import LOGSUMEXP, NEG_INF
+
+
+def pswm_from_tokens(toks, n_tokens, dtype=jnp.float32):
+    """One-hot log PSWM from a 0-based token sequence."""
+    L = toks.shape[0]
+    p = jnp.full((L, n_tokens + 1), NEG_INF, dtype)
+    return p.at[jnp.arange(L), toks + 1].set(0.0)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def pswm_transfer_matrices(emit, closure, pswm, sr=LOGSUMEXP):
+    """Per-position transfer matrices for a PSWM sequence.
+
+    emit: (n_tok, S, S) token-conditioned emission matrices (closure NOT
+    folded); closure: (S, S); pswm: (L, n_tok+1) log weights (col 0 = eps).
+    Returns (L, S, S) matrices with closure folded on the right."""
+    S = closure.shape[-1]
+    # weighted logsumexp over token matrices + epsilon identity
+    w_tok = pswm[:, 1:, None, None] + emit[None, :, :, :]  # (L, T, S, S)
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF).astype(emit.dtype)
+    w_eps = pswm[:, 0, None, None] + eye[None]             # (L, S, S)
+    stacked = jnp.concatenate([w_tok, w_eps[:, None]], axis=1)
+    m = jax.scipy.special.logsumexp(stacked, axis=1)
+    m = jnp.maximum(m, NEG_INF)
+    return sr.matmul(m, closure[None])
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def forward_1d_pswm(emit, closure, pswm, length, sr=LOGSUMEXP):
+    """1D Forward over a PSWM sequence (scan strategy)."""
+    S = closure.shape[-1]
+    mats = pswm_transfer_matrices(emit, closure, pswm, sr=sr)
+    e0 = jnp.full((S,), sr.zero, closure.dtype).at[0].set(sr.one)
+    f0 = sr.vecmat(e0, closure)
+
+    def step(f, inp):
+        m, pos = inp
+        f_new = sr.vecmat(f, m)
+        return jnp.where(pos < length, f_new, f), None
+
+    fL, _ = jax.lax.scan(step, f0, (mats, jnp.arange(mats.shape[0])))
+    return fL[S - 1]

@@ -184,3 +184,34 @@ def test_1d_padding_mask():
         a = float(fn(jnp.array(trans), jnp.array(closure), exact, 2))
         b = float(fn(jnp.array(trans), jnp.array(closure), padded, 2))
         assert abs(a - b) < 1e-5, (fn.__name__, a, b)
+
+
+def test_banded_forward_matches_host_envelope():
+    """Envelope-banded device DP == host banded DP (path-area envelope)."""
+    from machineboss_tpu.ops.dp2d import forward_2d_banded
+    from machineboss_tpu.core.seqpair import Envelope
+
+    m, params = stutter_noise()
+    ev = EvaluatedMachine(m, params)
+    sp = _sp("10101", "011010")
+    sp.alignment = [("1", "0"), ("0", "1"), ("1", "1"), ("", "0"),
+                    ("0", "1"), ("1", "0")]
+    env = Envelope(sp, width=1)
+    host = ForwardMatrix(ev, sp, env).log_like()
+    lm = LoweredMachine(ev, dtype=np.float64)
+    a_diag, a_left, a_up, closure = (jnp.array(x) for x in lm.matrices_2d())
+    in_toks = jnp.array([ev.input_tokenizer.sym2tok[c] - 1
+                         for c in sp.input.seq], jnp.int32)
+    out_toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1
+                          for c in sp.output.seq], jnp.int32)
+    dev = float(forward_2d_banded(
+        a_diag, a_left, a_up, closure, in_toks, out_toks,
+        jnp.array(env.in_start), jnp.array(env.in_end),
+        len(sp.input.seq), len(sp.output.seq)))
+    if host == -np.inf:
+        assert dev < -1e20
+    else:
+        assert abs(dev - host) < TOL, (host, dev)
+    # banded must be <= full
+    full = ForwardMatrix(ev, sp, Envelope.full(sp)).log_like()
+    assert host <= full + 1e-9

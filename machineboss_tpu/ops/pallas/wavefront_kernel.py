@@ -66,56 +66,63 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
                                jnp.full_like(mB, NEG_INF))
 
     def body(p1_ref, m1_ref, p2_ref, m2_ref):
+        # chunk boundaries coincide with sequence (W) boundaries, so the
+        # i==0 mask also covers per-chunk roll wraparound: all shifts can be
+        # done chunk-locally, avoiding full-slab temporaries in VMEM
         m1 = m1_ref[:]                           # (1, cells)
-        m2 = m2_ref[:]
         boundary = i_cells > 0
-        m1s = jnp.where(boundary, pltpu.roll(m1, 1, 1), NEG_INF)
-        m2s = jnp.where(boundary, pltpu.roll(m2, 1, 1), NEG_INF)
-        mu = jnp.maximum(jnp.maximum(m1, m1s), m2s)
-        mu_safe = jnp.where(mu > NEG_INF / 2, mu, 0.0)
-        w_up = jnp.exp(m1 - mu_safe) * (m1 > NEG_INF / 2)
-        w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
-        w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
 
-        # y one-hot for this diagonal, streamed in by the grid block spec
-        yoh = ydiag_ref[0]                                # (To, cells)
-        xoh = xoh_ref[:]                                  # (Ti, cells)
-
-        p1v = p1_ref[:]                                   # (S, cells)
-        p2v = p2_ref[:]
-        p1s = jnp.where(boundary, pltpu.roll(p1v, 1, 1), 0.0)
-        p2s = jnp.where(boundary, pltpu.roll(p2v, 1, 1), 0.0)
+        def rollc(x):
+            return pltpu.roll(x, 1, 1)
 
         def mm(mat_ref, x):
             return jax.lax.dot_general(
                 mat_ref[:], x, (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=jnp.float32)
 
+        mu_parts = []
         for c in range(n_chunks):
             lo_c, hi_c = c * chunk, (c + 1) * chunk
-            up_all = mm(up_cat_ref, p1v[:, lo_c:hi_c])      # (To*S, chunk)
-            left_all = mm(left_cat_ref, p1s[:, lo_c:hi_c])  # (Ti*S, chunk)
-            diag_all = mm(diag_cat_ref, p2s[:, lo_c:hi_c])  # (Ti*To*S, chunk)
+            bnd = boundary[:, lo_c:hi_c]
+            m1c = m1_ref[:, lo_c:hi_c]
+            m2c = m2_ref[:, lo_c:hi_c]
+            m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+            m2s = jnp.where(bnd, rollc(m2c), NEG_INF)
+            mu_c = jnp.maximum(jnp.maximum(m1c, m1s), m2s)
+            mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
+            w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+            w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+            w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+            mu_parts.append(mu_c)
 
-            yoh_c = yoh[:, lo_c:hi_c]
-            xoh_c = xoh[:, lo_c:hi_c]
+            p1c = p1_ref[:, lo_c:hi_c]
+            p1s = jnp.where(bnd, rollc(p1c), 0.0)
+            p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+
+            up_all = mm(up_cat_ref, p1c)                    # (To*S, chunk)
+            left_all = mm(left_cat_ref, p1s)                # (Ti*S, chunk)
+            diag_all = mm(diag_cat_ref, p2s)                # (Ti*To*S, chunk)
+
+            yoh_c = ydiag_ref[0, :, lo_c:hi_c]
+            xoh_c = xoh_ref[:, lo_c:hi_c]
             u = jnp.zeros((S, chunk), jnp.float32)
             for t in range(To):
                 u += up_all[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :] \
-                    * w_up[:, lo_c:hi_c]
+                    * w_up
             for t in range(Ti):
                 u += left_all[t * S:(t + 1) * S, :] * xoh_c[t:t + 1, :] \
-                    * w_left[:, lo_c:hi_c]
+                    * w_left
             for ti in range(Ti):
                 for to in range(To):
                     blk = (ti * To + to) * S
                     u += diag_all[blk:blk + S, :] \
                         * (xoh_c[ti:ti + 1, :] * yoh_c[to:to + 1, :]) \
-                        * w_diag[:, lo_c:hi_c]
+                        * w_diag
             cur = jax.lax.dot_general(
                 closure_ref[:], u, (((1,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=jnp.float32)
             p2_ref[:, lo_c:hi_c] = cur
+        mu = jnp.concatenate(mu_parts, axis=1)
 
         curv = p2_ref[:]
         mx = jnp.max(curv, axis=0, keepdims=True)            # (1, cells)
@@ -154,7 +161,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
     cells = B * W
     if n_chunks is None:
         # keep the diag intermediate (Ti*To*S x chunk) around ~4MB
-        target = max(1, (Ti * To * S * 4 * cells) // (4 << 20))
+        target = max(1, (Ti * To * S * 4 * cells) // (2 << 20))
         n_chunks = 1
         while n_chunks < target and (cells // (n_chunks * 2)) % 128 == 0 \
                 and cells % (n_chunks * 2) == 0:
@@ -204,6 +211,8 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             pltpu.VMEM((1, cells), jnp.float32),
             pltpu.VMEM((1, cells), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -18,15 +18,46 @@ MIN_EM_IMPROVEMENT = 0.001
 
 class MachineFitter:
     def __init__(self, machine=None, constraints=None, seed=None,
-                 constants=None, engine="host"):
+                 constants=None, engine="host", checkpoint_path=None):
         self.machine = machine
         self.constraints = constraints if constraints is not None else Constraints()
         self.seed = seed if seed is not None else Params()
         self.constants = constants if constants is not None else Params()
         self.engine = engine
+        # EM checkpoint/resume: params + iteration + loglike are written
+        # every iteration and restored on restart (the reference's de-facto
+        # checkpoint is re-seeding from an emitted params JSON; this makes
+        # it automatic)
+        self.checkpoint_path = checkpoint_path
 
     def all_constraints(self):
         return self.machine.cons.combine(self.constraints)
+
+    def _load_checkpoint(self):
+        import json as _json
+        import os
+        if not self.checkpoint_path or not os.path.exists(
+                self.checkpoint_path):
+            return None
+        with open(self.checkpoint_path) as f:
+            ck = _json.load(f)
+        from ..core.params import param_assign_from_json
+        return (ck["iteration"], param_assign_from_json(ck["params"]),
+                ck.get("loglike"))
+
+    def _save_checkpoint(self, iteration, params, loglike):
+        import json as _json
+        if not self.checkpoint_path:
+            return
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps({
+                "iteration": iteration,
+                "loglike": loglike,
+                "params": _json.loads(params.to_json_str()),
+            }))
+        import os
+        os.replace(tmp, self.checkpoint_path)
 
     def fit(self, training_set, envelopes=None, width=None):
         if envelopes is None:
@@ -35,7 +66,11 @@ class MachineFitter:
             raise ValueError("Envelope/training set mismatch")
         params = self.seed
         prev = None
-        for it in range(MAX_EM_ITERATIONS + 1):
+        start_iter = 0
+        resumed = self._load_checkpoint()
+        if resumed is not None:
+            start_iter, params, prev = resumed
+        for it in range(start_iter, MAX_EM_ITERATIONS + 1):
             all_params = self.machine.funcs.combine(self.constants) \
                                            .combine(params)
             counts = self._estep(all_params, training_set, envelopes)
@@ -49,6 +84,7 @@ class MachineFitter:
                                          self.constraints, self.constants)
             params = objective.optimize(params)
             prev = counts.loglike
+            self._save_checkpoint(it + 1, params, prev)
         return params
 
     def _estep(self, all_params, training_set, envelopes):

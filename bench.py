@@ -52,7 +52,6 @@ def main():
     import jax.numpy as jnp
     from machineboss_tpu.core.eval import EvaluatedMachine
     from machineboss_tpu.ops.lowering import LoweredMachine
-    from machineboss_tpu.ops.wavefront_fast import forward_2d_wavefront_fast
     from machineboss_tpu.ops.semiring import LOGSUMEXP
 
     S = int(os.environ.get("BENCH_S", "64"))
@@ -72,10 +71,24 @@ def main():
     in_lens = jnp.full((B,), L, jnp.int32)
     out_lens = jnp.full((B,), L, jnp.int32)
 
-    def run():
-        return forward_2d_wavefront_fast(a_diag, a_left, a_up, closure,
-                                         in_toks, out_toks, in_lens,
-                                         out_lens)
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    if engine == "pallas":
+        from machineboss_tpu.ops.pallas.wavefront_kernel import \
+            make_wavefront_forward
+        fwd = make_wavefront_forward(np.array(a_diag), np.array(a_left),
+                                     np.array(a_up), np.array(closure),
+                                     B, L, L)
+
+        def run():
+            return fwd(in_toks, out_toks, in_lens, out_lens)
+    else:
+        from machineboss_tpu.ops.wavefront_fast import \
+            forward_2d_wavefront_fast
+
+        def run():
+            return forward_2d_wavefront_fast(a_diag, a_left, a_up, closure,
+                                             in_toks, out_toks, in_lens,
+                                             out_lens)
 
     # warmup/compile
     out = run()

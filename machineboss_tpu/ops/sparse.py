@@ -1,0 +1,132 @@
+"""Sparse (COO) device DP for large machines.
+
+Dense (S,S) transfer matmuls scale as S^2 per cell; profile HMMs and big
+compositions (fn3 ~500 states, prot2dna ~1000s) are extremely sparse
+(constant out-degree). This engine keeps transitions as COO edge arrays and
+updates cells with segment log-sum-exp scatters (max-scatter + exp-sum
+scatter), O(E) per position instead of O(S^2).
+
+Silent transitions are layered by longest-path depth over the silent DAG on
+the host (advancing machines have acyclic silent graphs); the device kernel
+applies the layers as a short fixed sequence of scatters, vectorized over
+edges within each layer.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .semiring import NEG_INF
+
+
+def segment_logsumexp(values, segment_ids, num_segments):
+    """Scatter-logsumexp of values into segments."""
+    seg_max = jax.ops.segment_max(values, segment_ids, num_segments)
+    seg_max_safe = jnp.where(seg_max > NEG_INF / 2, seg_max, 0.0)
+    shifted = jnp.exp(values - seg_max_safe[segment_ids])
+    sums = jax.ops.segment_sum(shifted, segment_ids, num_segments)
+    out = jnp.where(sums > 0,
+                    jnp.log(jnp.where(sums > 0, sums, 1.0)) + seg_max_safe,
+                    NEG_INF)
+    return out
+
+
+def segment_max(values, segment_ids, num_segments):
+    return jax.ops.segment_max(values, segment_ids, num_segments)
+
+
+class SparseMachine:
+    """COO lowering with silent-layer scheduling (host side)."""
+
+    def __init__(self, ev, dtype=np.float32):
+        self.ev = ev
+        self.n_states = ev.n_states()
+        edges = ev.edges_by_token()
+        self.classes = {}
+        for (i, o), (src, dst, ti, lw) in edges.items():
+            lw = np.where(np.isfinite(lw), lw, NEG_INF).astype(dtype)
+            self.classes[(i, o)] = (jnp.array(src, jnp.int32),
+                                    jnp.array(dst, jnp.int32),
+                                    jnp.array(lw))
+        # silent layers by destination depth over the silent DAG
+        silent = edges.get((0, 0))
+        self.silent_layers = []
+        if silent is not None:
+            src, dst, _, lw = silent
+            depth = np.zeros(self.n_states, np.int64)
+            order = np.argsort(dst, kind="stable")
+            for k in order:  # dst ascending = topological for advancing
+                depth[dst[k]] = max(depth[dst[k]], depth[src[k]] + 1)
+            edge_layer = depth[dst]
+            lw = np.where(np.isfinite(lw), lw, NEG_INF).astype(dtype)
+            for lvl in range(1, int(edge_layer.max()) + 1 if len(dst) else 0):
+                sel = edge_layer == lvl
+                if sel.any():
+                    self.silent_layers.append(
+                        (jnp.array(src[sel], jnp.int32),
+                         jnp.array(dst[sel], jnp.int32),
+                         jnp.array(lw[sel])))
+
+    def apply_silent(self, cell):
+        """Propagate silent transitions layer by layer (exact closure for
+        advancing machines)."""
+        S = self.n_states
+        for src, dst, lw in self.silent_layers:
+            contrib = segment_logsumexp(cell[src] + lw, dst, S)
+            cell = jnp.logaddexp(cell, contrib)
+        return cell
+
+    def class_contrib(self, prev_cell, key):
+        S = self.n_states
+        if key not in self.classes:
+            return jnp.full((S,), NEG_INF, prev_cell.dtype)
+        src, dst, lw = self.classes[key]
+        return segment_logsumexp(prev_cell[src] + lw, dst, S)
+
+
+def forward_2d_sparse(sm: SparseMachine, in_toks, out_toks):
+    """Sparse 2D Forward; in_toks/out_toks are 1-based token id lists
+    (host ints). Returns final log-likelihood. Rows are scanned on device;
+    cells per row are a python loop (suitable for moderate Li) — the dense
+    engines cover high-throughput batched workloads, this engine covers
+    machines too big to densify."""
+    S = sm.n_states
+    Li = len(in_toks)
+    Lo = len(out_toks)
+
+    @jax.jit
+    def run():
+        neg = jnp.full((S,), NEG_INF, jnp.float32)
+
+        def make_row(prev_row, o_tok):
+            # prev_row: (Li+1, S) or None for first row
+            cells = []
+            for i in range(Li + 1):
+                c = neg
+                if prev_row is None and i == 0:
+                    c = c.at[0].set(0.0)
+                if prev_row is not None:
+                    c = jnp.logaddexp(c, sm.class_contrib(
+                        prev_row[i], (0, o_tok)))
+                    if i > 0:
+                        c = jnp.logaddexp(c, sm.class_contrib(
+                            prev_row[i - 1], (in_toks[i - 1], o_tok)))
+                if i > 0:
+                    c = jnp.logaddexp(c, sm.class_contrib(
+                        cells[i - 1], (in_toks[i - 1], 0)))
+                c = sm.apply_silent(c)
+                cells.append(c)
+            return jnp.stack(cells)
+
+        row = make_row(None, None)
+
+        def row_fold(row, o_tok):
+            return make_row(row, o_tok)
+
+        for o in range(1, Lo + 1):
+            row = row_fold(row, out_toks[o - 1])
+        return row[Li, S - 1]
+
+    return float(run())

@@ -133,3 +133,24 @@ def tokenize_batch(ev, seq_pairs, pad_to=None):
         il[n] = len(i_s)
         ol[n] = len(o_s)
     return jnp.array(it), jnp.array(ot), jnp.array(il), jnp.array(ol)
+
+
+def posterior_lattice(a_diag, a_left, a_up, closure, in_toks, out_toks,
+                      sr=None):
+    """Posterior state marginals P(state at (i,o) | sequences): the
+    forward lattice plus backward lattice minus total log-likelihood
+    (equivalent feature to the reference WebGPU package's posteriors)."""
+    from . import dp2d
+    from .semiring import LOGSUMEXP
+    sr = sr or LOGSUMEXP
+    f = dp2d.forward_2d_lattice(a_diag, a_left, a_up, closure, in_toks,
+                                out_toks, sr=sr)
+    b = dp2d.backward_2d_lattice(a_diag, a_left, a_up, closure, in_toks,
+                                 out_toks, sr=sr)
+    S = closure.shape[-1]
+    ll = f[-1, -1, S - 1]
+    # note: f is post-closure and b includes same-cell closure, so f+b
+    # counts within-cell silent runs on both sides; state marginals are
+    # exact at emission boundaries (i.e. for loud states), matching the
+    # reference's posterior semantics
+    return f + b - ll

@@ -60,3 +60,52 @@ def forward_1d_pswm(emit, closure, pswm, length, sr=LOGSUMEXP):
 
     fL, _ = jax.lax.scan(step, f0, (mats, jnp.arange(mats.shape[0])))
     return fL[S - 1]
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def forward_2d_pswm(a_diag, a_left, a_up, closure, in_pswm, out_pswm,
+                    in_len, out_len, sr=LOGSUMEXP):
+    """Pairwise Forward with PSWM inputs on both sides.
+
+    in_pswm: (Li, Ti+1) log weights (col 0 = eps skip); out_pswm: (Lo, To+1).
+    Per-position transfer matrices are the PSWM-weighted mixtures of the
+    token-conditioned matrices; an eps column mixes in an identity 'skip'.
+    """
+    from . import dp2d
+    Ti, To, S, _ = a_diag.shape
+    dtype = closure.dtype
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF).astype(dtype)
+
+    def mix(pswm_row, mats, with_eps):
+        # logsumexp_t pswm[t]*mats[t]  (+ eps * I)
+        stacked = pswm_row[1:, None, None] + mats
+        if with_eps:
+            stacked = jnp.concatenate(
+                [stacked, (pswm_row[0] + eye)[None]], axis=0)
+        return jax.scipy.special.logsumexp(stacked, axis=0)
+
+    left_mats = jax.vmap(lambda r: mix(r, a_left, True))(in_pswm)
+    up_mats = jax.vmap(lambda r: mix(r, a_up, True))(out_pswm)
+    # diag: mix over input tokens first -> (Li, To, S, S)
+    dx = jax.vmap(lambda r: r[1:, None, None, None] + a_diag)(in_pswm)
+    dx = jax.scipy.special.logsumexp(dx, axis=1)  # (Li, To, S, S)
+    Li = in_pswm.shape[0]
+    left_full = jnp.concatenate(
+        [jnp.full((1, S, S), sr.zero, dtype), left_mats], axis=0)
+
+    e0 = jnp.full((S,), sr.zero, dtype).at[0].set(sr.one)
+    u0 = jnp.full((Li + 1, S), sr.zero, dtype).at[0].set(e0)
+    row0 = dp2d._row_scan(u0, left_full, closure, sr)
+
+    def row_step(prev_row, inp):
+        up_m, out_row = inp
+        diag_m = jax.scipy.special.logsumexp(
+            out_row[None, 1:, None, None] + dx, axis=1)      # (Li, S, S)
+        u_up = jax.vmap(lambda v: sr.vecmat(v, up_m))(prev_row)
+        u_diag = jax.vmap(sr.vecmat)(prev_row[:-1], diag_m)
+        u = u_up.at[1:].set(sr.add(u_up[1:], u_diag))
+        row = dp2d._row_scan(u, left_full, closure, sr)
+        return row, None
+
+    final_row, _ = jax.lax.scan(row_step, row0, (up_mats, out_pswm))
+    return final_row[in_len, S - 1]

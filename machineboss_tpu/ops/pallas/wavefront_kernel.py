@@ -37,9 +37,10 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
+def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                       # refs:
                       diag2_ref, left_cat_ref, up_cat_ref, closure_ref,
+                      diag2_lo_ref, left_lo_ref, up_lo_ref, closure_lo_ref,
                       xoh_ref, ydiag_ref, icell_ref, dfin_ref,
                       res_ref,
                       slabA, slabB, mA, mB):
@@ -75,10 +76,24 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
         def rollc(x):
             return pltpu.roll(x, 1, 1)
 
-        def mm(mat_ref, x):
-            return jax.lax.dot_general(
-                mat_ref[:], x, (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+
+        def mm(mat_ref, lo_ref, x):
+            if not split:
+                return jax.lax.dot_general(
+                    mat_ref[:], x, dn, precision=precision,
+                    preferred_element_type=jnp.float32)
+            # bf16x2 emulation: M = Mhi + Mlo (host-split), X = Xhi + Xlo;
+            # three DEFAULT (single-pass bf16) products recover ~f32 quality
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xlo = x - xhi
+            d = jax.lax.dot_general
+            return (d(mat_ref[:], xhi, dn,
+                      preferred_element_type=jnp.float32)
+                    + d(mat_ref[:], xlo, dn,
+                        preferred_element_type=jnp.float32)
+                    + d(lo_ref[:], xhi, dn,
+                        preferred_element_type=jnp.float32))
 
         mu_parts = []
         for c in range(n_chunks):
@@ -99,8 +114,8 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
             p1s = jnp.where(bnd, rollc(p1c), 0.0)
             p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
 
-            up_all = mm(up_cat_ref, p1c)                    # (To*S, chunk)
-            left_all = mm(left_cat_ref, p1s)                # (Ti*S, chunk)
+            up_all = mm(up_cat_ref, up_lo_ref, p1c)         # (To*S, chunk)
+            left_all = mm(left_cat_ref, left_lo_ref, p1s)   # (Ti*S, chunk)
 
             yoh_c = ydiag_ref[0, :, lo_c:hi_c]
             xoh_c = xoh_ref[:, lo_c:hi_c]
@@ -117,15 +132,13 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
             # 16 masked FMAs with 4 masked copies + 4 FMAs
             xblocks = [p2s * xoh_c[t:t + 1, :] for t in range(Ti)]
             xstack = jnp.concatenate(xblocks, axis=0)        # (Ti*S, chunk)
-            diag_out = mm(diag2_ref, xstack)                 # (To*S, chunk)
+            diag_out = mm(diag2_ref, diag2_lo_ref, xstack)   # (To*S, chunk)
             sd = jnp.zeros((S, chunk), jnp.float32)
             for t in range(To):
                 sd += diag_out[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
 
             u = su * w_up + sl * w_left + sd * w_diag
-            cur = jax.lax.dot_general(
-                closure_ref[:], u, (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32)
+            cur = mm(closure_ref, closure_lo_ref, u)
             p2_ref[:, lo_c:hi_c] = cur
         mu = jnp.concatenate(mu_parts, axis=1)
 
@@ -156,7 +169,7 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision,
 
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
-                           n_chunks=None, interpret=False):
+                           n_chunks=None, interpret=False, split=False):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
@@ -194,15 +207,31 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
 
     i_cell = np.tile(np.arange(W, dtype=np.int32), B)[None, :]
 
+    def hi_lo(m):
+        hi = m.astype(np.float32).astype(np.dtype("bfloat16")) \
+            .astype(np.float32) if hasattr(np, "bfloat16") else m
+        # numpy lacks bfloat16; emulate via jnp on host
+        hi = np.asarray(jnp.asarray(m, jnp.float32).astype(jnp.bfloat16)
+                        .astype(jnp.float32))
+        return hi, (m - hi).astype(np.float32)
+
+    diag2_hi, diag2_lo = hi_lo(diag2)
+    left_hi, left_lo = hi_lo(left_cat)
+    up_hi, up_lo = hi_lo(up_cat)
+    closure_hi, closure_lo = hi_lo(closure_t)
+    if not split:
+        diag2_hi, left_hi, up_hi, closure_hi = (diag2, left_cat, up_cat,
+                                                closure_t)
+
     n_diags = Li + Lo + 1
 
     kernel = functools.partial(_wavefront_kernel, Ti, To, S, B, W, Li,
-                               Lo, n_chunks, precision)
+                               Lo, n_chunks, precision, split)
 
     call = pl.pallas_call(
         kernel,
         grid=(n_diags,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
             pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
             pl.BlockSpec((1, To, cells), lambda d: (d, 0, 0),
                          memory_space=pltpu.VMEM),           # ydiag
@@ -249,8 +278,10 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         dfin_cells = dfin_cells.at[0, cell_ids].set(
             (in_lens + out_lens).astype(jnp.int32))
 
-        res_cells = call(jnp.array(diag2), jnp.array(left_cat),
-                         jnp.array(up_cat), jnp.array(closure_t),
+        res_cells = call(jnp.array(diag2_hi), jnp.array(left_hi),
+                         jnp.array(up_hi), jnp.array(closure_hi),
+                         jnp.array(diag2_lo), jnp.array(left_lo),
+                         jnp.array(up_lo), jnp.array(closure_lo),
                          xoh_t, ydiag, jnp.array(i_cell), dfin_cells)
         return res_cells[0, cell_ids]
 

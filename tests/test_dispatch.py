@@ -1,0 +1,42 @@
+"""Auto-dispatch front end: strategies agree with each other and the host."""
+
+import json
+
+import numpy as np
+
+from conftest import REF
+
+from machineboss_tpu.core.machine import Machine
+from machineboss_tpu.core.params import param_assign_from_json
+from machineboss_tpu.core.eval import EvaluatedMachine
+from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+from machineboss_tpu.algo.dp_host import ForwardMatrix, ViterbiMatrix
+from machineboss_tpu.dispatch import CompiledMachine
+
+TOL = 1e-2
+
+
+def test_dispatch_2d():
+    m = Machine.from_file(REF + "/t/machine/bitstutter-noise.json")
+    with open(REF + "/t/io/params.json") as f:
+        params = param_assign_from_json(json.load(f))
+    cm = CompiledMachine(m, params)
+    ev = EvaluatedMachine(m, params)
+    sp = SeqPair(NamedSeq("i", list("101")), NamedSeq("o", list("0011")))
+    host_f = ForwardMatrix(ev, sp).log_like()
+    host_v = ViterbiMatrix(ev, sp).log_like()
+    assert abs(cm.log_forward("101", "0011") - host_f) < TOL
+    assert abs(cm.log_viterbi("101", "0011") - host_v) < TOL
+
+
+def test_dispatch_1d_and_sparse():
+    from machineboss_tpu.core.csvprof import CSVProfile
+    gen = CSVProfile.from_file(REF + "/t/csv/test.csv").machine()
+    ev = EvaluatedMachine(gen, gen.get_param_defs(True))
+    host = ForwardMatrix(ev, SeqPair(NamedSeq("i", []),
+                                     NamedSeq("o", ["A", "C"]))).log_like()
+    cm = CompiledMachine(gen)
+    assert abs(cm.log_forward("", "AC") - host) < TOL
+    assert abs(cm.log_forward("", "AC", strategy="scan") - host) < TOL
+    assert abs(cm.log_forward("", "AC", strategy="assoc") - host) < TOL
+    assert abs(cm.log_forward("", "AC", strategy="sparse") - host) < TOL

@@ -169,24 +169,37 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
-                           n_chunks=None, interpret=False, split=False):
+                           n_chunks=None, interpret=False, split=True):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
     -> (B,) log-likelihoods."""
+    import math as _math
     Ti, To, S, _ = a_diag.shape
-    W = _round_up(Li + 1, 256)
+    # W need only be a multiple of 16 (sublane granularity of one slab row
+    # per b); chunk boundaries must align BOTH to sequence boundaries (W)
+    # and to lanes (128), i.e. chunks are multiples of lcm(W, 128)
+    W = _round_up(Li + 1, 16)
     cells = B * W
+    chunk_base = W * 128 // _math.gcd(W, 128)
+    max_chunks = cells // chunk_base
+    if max_chunks < 1:
+        W = _round_up(Li + 1, 128)
+        cells = B * W
+        chunk_base = W * 128 // _math.gcd(W, 128)
+        max_chunks = cells // chunk_base
     if n_chunks is None:
-        # keep the diag intermediate (Ti*To*S x chunk) around ~4MB
+        # keep the stacked intermediate (max(Ti,To)*S x chunk) around ~2MB
         target = max(1, (max(Ti, To) * S * 4 * cells) // (2 << 20))
         n_chunks = 1
-        while n_chunks < target and (cells // (n_chunks * 2)) % 128 == 0 \
-                and cells % (n_chunks * 2) == 0:
-            n_chunks *= 2
+        for cand in range(max_chunks, 0, -1):
+            if max_chunks % cand == 0 and cand <= target:
+                n_chunks = cand
+                break
+        n_chunks = max(n_chunks, 1)
     chunk0 = cells // n_chunks
-    assert chunk0 * n_chunks == cells and chunk0 % 128 == 0, \
-        "cells must split into lane-aligned chunks"
+    assert chunk0 * n_chunks == cells and chunk0 % 128 == 0 \
+        and chunk0 % W == 0, "cells must split into aligned chunks"
 
     # probability-space concatenated matrices, transposed so that
     # out (S', chunk) = M^T (S', S) @ p (S, chunk)

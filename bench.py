@@ -49,6 +49,17 @@ def build_random_transducer(n_states, alphabet, seed=42):
 
 def main():
     import jax
+    # persistent compilation cache: the pallas kernel's first compile is
+    # minutes; cached runs start in seconds
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from machineboss_tpu.core.eval import EvaluatedMachine
     from machineboss_tpu.ops.lowering import LoweredMachine
@@ -72,16 +83,26 @@ def main():
     out_lens = jnp.full((B,), L, jnp.int32)
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
+    run = None
     if engine == "pallas":
-        from machineboss_tpu.ops.pallas.wavefront_kernel import \
-            make_wavefront_forward
-        fwd = make_wavefront_forward(np.array(a_diag), np.array(a_left),
-                                     np.array(a_up), np.array(closure),
-                                     B, L, L)
+        try:
+            from machineboss_tpu.ops.pallas.wavefront_kernel import \
+                make_wavefront_forward
+            fwd = make_wavefront_forward(np.array(a_diag),
+                                         np.array(a_left),
+                                         np.array(a_up), np.array(closure),
+                                         B, L, L)
 
-        def run():
-            return fwd(in_toks, out_toks, in_lens, out_lens)
-    else:
+            def run():
+                return fwd(in_toks, out_toks, in_lens, out_lens)
+
+            run().block_until_ready()
+        except Exception as e:  # pragma: no cover - fallback path
+            import sys
+            sys.stderr.write("pallas engine unavailable (%s); falling back"
+                             " to jnp wavefront\n" % e)
+            run = None
+    if run is None:
         from machineboss_tpu.ops.wavefront_fast import \
             forward_2d_wavefront_fast
 

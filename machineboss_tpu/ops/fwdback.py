@@ -111,14 +111,30 @@ def _safe_log(p):
     return jnp.where(p > 0, jnp.log(jnp.where(p > 0, p, 1.0)), NEG_INF)
 
 
-def tokenize_batch(ev, seq_pairs, pad_to=None):
-    """Pad/tokenize a list of SeqPairs into device arrays (0-based tokens)."""
+def pad_bucket(n, ratio=1.5, base=8):
+    """Geometric padding bucket (ref seq.py pad_length semantics: lengths
+    rounded up to powers of `ratio` to bound recompilation on ragged
+    batches)."""
+    b = base
+    while b < n:
+        b = int(b * ratio) + 1
+    return b
+
+
+def tokenize_batch(ev, seq_pairs, pad_to=None, bucket=False):
+    """Pad/tokenize a list of SeqPairs into device arrays (0-based tokens).
+
+    bucket=True rounds padded lengths up to geometric buckets so repeated
+    calls with ragged batches reuse compiled kernels."""
     in_seqs = [[ev.input_tokenizer.sym2tok[c] - 1 for c in sp.input.seq]
                for sp in seq_pairs]
     out_seqs = [[ev.output_tokenizer.sym2tok[c] - 1 for c in sp.output.seq]
                 for sp in seq_pairs]
     li = max([len(s) for s in in_seqs] + [1])
     lo = max([len(s) for s in out_seqs] + [1])
+    if bucket:
+        li = pad_bucket(li)
+        lo = pad_bucket(lo)
     if pad_to:
         li = max(li, pad_to)
         lo = max(lo, pad_to)

@@ -1,0 +1,437 @@
+"""Chain-specialized fused Plan7 (x) transducer DP.
+
+Scores a transducer's output against a HMMER profile generator WITHOUT
+materializing the composite state space, exploiting the Plan7 linear chain
+(equivalent of the reference's fused Plan7 DP,
+ref python/machineboss/jax/fused_plan7.py and API.md:205-223):
+O(Lo * K * St^2) instead of O(Lo * S_p7^2 * St) for the composition.
+
+TPU-first structure — per output position (one lax.scan step):
+  1. "base" contributions from the previous row land batched over profile
+     nodes k (einsum-shaped semiring ops): the transducer consumes a
+     profile emission AND emits y_o (EMy/EIy), or emits y_o on its own
+     (Ty0 moves, valid in every generator state class).
+  2. the within-row silent sweep along k (delete chains + silent
+     absorption of profile emissions by the transducer) is a first-order
+     affine recurrence over k whose transfer matrix A_k (3St x 3St, carry
+     [Mx_k, Ix_k, D_k]) is ROW-INDEPENDENT; it is solved in O(log K)
+     depth with lax.associative_scan over (A, b) pairs in the log
+     semiring — the Plan7 analog of the 1D transfer-matrix scan.
+  3. within-node cycles (I_k self-loop, node-0 insert, N/C/J flank
+     loops) are exact via host-precomputed (I - loop)^-1 closures.
+
+Generator state classes mirror the importer's split emission states
+(machineboss_tpu/core/hmmer.py:194-351; emission on M_k -> Mx_k):
+M, Mx, I, Ix, D per node plus S, N, Nx, B, E, C, Cx, J, Jx, T flanks and
+the node-0 insert I0/Ix0 (global core mode). The transducer's (eps,eps)
+closure is folded on the right of every transducer move.
+
+Multihit re-entry (E -> J -> B within one output row) requires the second
+profile pass to be absorbed silently by the transducer; it is resolved by
+`n_hit` fixed-point iterations B <- B0 (+) exit*Jx(E(B)) of the row solve
+(exact for single-hit mode, geometric convergence for multihit).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .semiring import LOGSUMEXP, NEG_INF
+
+SR = LOGSUMEXP
+
+
+def _np_log(p):
+    p = np.asarray(p, np.float64)
+    with np.errstate(divide="ignore"):
+        return np.where(p > 0, np.log(np.maximum(p, 1e-300)), NEG_INF)
+
+
+def _np_log_matmul(a, b):
+    amax = np.max(a, axis=-1, keepdims=True)
+    bmax = np.max(b, axis=-2, keepdims=True)
+    asafe = np.where(amax > NEG_INF / 2, amax, 0.0)
+    bsafe = np.where(bmax > NEG_INF / 2, bmax, 0.0)
+    prod = np.exp(a - asafe) @ np.exp(b - bsafe)
+    return np.where(prod > 0, _np_log(prod) + asafe + bsafe, NEG_INF)
+
+
+def _np_lse(stack, axis=0):
+    m = np.max(stack, axis=axis, keepdims=True)
+    safe = np.where(m > NEG_INF / 2, m, 0.0)
+    s = np.sum(np.exp(stack - safe), axis=axis)
+    return np.where(s > 0, _np_log(s) + np.squeeze(safe, axis), NEG_INF)
+
+
+def _bvecmat(v, m):
+    """(K, St) x (K, St, St) -> (K, St) batched semiring vec-mat."""
+    return SR.matmul(v[:, None, :], m)[:, 0, :]
+
+
+class Plan7Fused:
+    """Fused profile-HMM (x) transducer Forward.
+
+    hmm: core.hmmer.HmmerModel (parsed HMMER3 text)
+    td_ev: EvaluatedMachine of the transducer; its input alphabet must
+        cover the HMM's alphabet.
+    mode: 'core' (hmm.machine(local), cited above at :194) or 'plan7'
+        (hmm.plan7_machine at :287, with N/C/J flanks).
+    """
+
+    def __init__(self, hmm, td_ev, mode="plan7", local=True, multihit=False,
+                 length=400.0, n_hit=3):
+        self.hmm = hmm
+        self.td_ev = td_ev
+        self.mode = mode
+        self.local = local if mode == "core" else True
+        self.multihit = multihit
+        self.n_hit = n_hit if (mode == "plan7" and multihit) else 1
+        K = len(hmm.node)
+        if K < 1:
+            raise ValueError("empty HMM")
+        self.K = K
+        St = td_ev.n_states()
+        self.St = St
+        A = len(hmm.alph)
+
+        # ---- transducer tensors: dense (n_in, n_out, St, St) log weights
+        n_in = td_ev.input_tokenizer.n_tokens()
+        n_out = td_ev.output_tokenizer.n_tokens()
+        self.n_out = n_out
+        dense = np.full((n_in, n_out, St, St), NEG_INF)
+        for (i, o), (src, dst, _, lw) in td_ev.edges_by_token().items():
+            for t in range(len(src)):
+                w = lw[t] if np.isfinite(lw[t]) else NEG_INF
+                dense[i, o, src[t], dst[t]] = np.logaddexp(
+                    dense[i, o, src[t], dst[t]], w)
+        n_mat = np.where(dense[0, 0] > NEG_INF / 2, np.exp(dense[0, 0]), 0.0)
+        t_closure = _np_log(np.linalg.inv(np.eye(St) - n_mat))
+
+        toks = []
+        for sym in hmm.alph:
+            t = td_ev.input_tokenizer.sym2tok.get(sym)
+            if t is None:
+                raise ValueError("transducer lacks input symbol %r" % sym)
+            toks.append(t)
+
+        # move matrices, (eps,eps) closure folded on the right
+        ta0 = np.stack([_np_log_matmul(dense[t, 0], t_closure)
+                        for t in toks])                        # (A, St, St)
+        tay = np.stack([
+            np.stack([_np_log_matmul(dense[t, y], t_closure)
+                      for y in range(n_out)])
+            for t in toks])                                    # (A,n_out,..)
+        ty0 = np.stack([_np_log_matmul(dense[0, y], t_closure)
+                        for y in range(n_out)])                # (n_out,..)
+
+        m_emit = np.array([[_np_log(n.match_emit[a]) for a in range(A)]
+                           for n in hmm.node])                 # (K, A)
+        i_emit = np.array([[_np_log(n.ins_emit[a]) for a in range(A)]
+                           for n in hmm.node])
+        null_emit = _np_log(np.array(hmm.null_emit))           # (A,)
+        ins0_emit = _np_log(np.array(hmm.ins0_emit))
+
+        def absorb(emit):
+            """(..., A) log dist -> (..., St, St) silent-absorb matrix."""
+            return _np_lse(emit[..., :, None, None] + ta0, axis=-3)
+
+        em0 = absorb(m_emit)                                   # (K, St, St)
+        ei0 = absorb(i_emit)
+        enull0 = absorb(null_emit)
+        eins00 = absorb(ins0_emit)
+
+        sc = {n: _np_log(np.array([getattr(node, n) for node in hmm.node]))
+              for n in ("m_to_m", "m_to_i", "m_to_d", "i_to_m", "i_to_i",
+                        "d_to_m", "d_to_d")}
+
+        def loop_closure(log_scalar, log_mat):
+            """(I - exp(scalar) * exp(mat))^-1 in probability space."""
+            p = np.where(log_mat > NEG_INF / 2, np.exp(log_mat), 0.0)
+            s = np.exp(np.maximum(log_scalar, -700.0))
+            if p.ndim == 2:
+                return _np_log(np.linalg.inv(np.eye(St) - s * p))
+            return np.stack([_np_log(np.linalg.inv(np.eye(St) - s[k] * p[k]))
+                             for k in range(p.shape[0])])
+
+        ci = loop_closure(sc["i_to_i"], ei0)                   # (K, St, St)
+        ci00 = loop_closure(_np_log(hmm.i0_to_i0), eins00)
+
+        # local entry weights B -> M_k, k=1..K-1 (hmmer.py:201-206)
+        if self.local:
+            occ = hmm.calc_match_occupancy()
+            z = sum(occ[k] * (K - k + 1) for k in range(1, K))
+            entry = np.full(K, NEG_INF)
+            for k in range(1, K):
+                if z > 0:
+                    entry[k - 1] = float(_np_log(occ[k] / z))
+            self._entry_np = entry
+        else:
+            self._entry_np = None
+
+        # ---- row-independent along-k transfer, carry [Mx, Ix, D]:
+        #   M_k  = Mx_{k-1} mm_{k-1} (+) Ix_{k-1} im_{k-1}
+        #          (+) D_{k-1} dm_{k-1} (+) u_k
+        #   Mx_k = M_k @ EM0_k (+) base_Mx_k
+        #   I_k  = (mi_k Mx_k (+) base_I_k (+) ii_k base_Ix_k) @ CI_k
+        #   Ix_k = I_k @ EI0_k (+) base_Ix_k
+        #   D_k  = Mx_{k-1} md_{k-1} (+) D_{k-1} dd_{k-1} (+) base_D_k
+        # Local mode's node-K differences (no mm/md continuation) need no
+        # masking: sources at k-1 = K-1 are never read by A_k, k <= K-1.
+        eye_log = _np_log(np.eye(St))
+        a_mat = np.full((K, 3 * St, 3 * St), NEG_INF)
+        for k in range(1, K):
+            em = em0[k]
+            to_ix = _np_log_matmul(
+                _np_log_matmul(sc["m_to_i"][k] + em, ci[k]), ei0[k])
+            a_mat[k, 0:St, 0:St] = sc["m_to_m"][k - 1] + em
+            a_mat[k, St:2 * St, 0:St] = sc["i_to_m"][k - 1] + em
+            a_mat[k, 2 * St:, 0:St] = sc["d_to_m"][k - 1] + em
+            a_mat[k, 0:St, St:2 * St] = sc["m_to_m"][k - 1] + to_ix
+            a_mat[k, St:2 * St, St:2 * St] = sc["i_to_m"][k - 1] + to_ix
+            a_mat[k, 2 * St:, St:2 * St] = sc["d_to_m"][k - 1] + to_ix
+            a_mat[k, 0:St, 2 * St:] = sc["m_to_d"][k - 1] + eye_log
+            a_mat[k, 2 * St:, 2 * St:] = sc["d_to_d"][k - 1] + eye_log
+
+        f32 = jnp.float32
+        self._j = j = {
+            "tay": jnp.array(tay, f32), "ty0": jnp.array(ty0, f32),
+            "em0": jnp.array(em0, f32), "ei0": jnp.array(ei0, f32),
+            "enull0": jnp.array(enull0, f32),
+            "eins00": jnp.array(eins00, f32),
+            "ci": jnp.array(ci, f32), "ci00": jnp.array(ci00, f32),
+            "a_mat": jnp.array(a_mat, f32),
+            "m_emit": jnp.array(m_emit, f32),
+            "i_emit": jnp.array(i_emit, f32),
+            "null_emit": jnp.array(null_emit, f32),
+            "ins0_emit": jnp.array(ins0_emit, f32),
+            "t_closure": jnp.array(t_closure, f32),
+        }
+        for n, v in sc.items():
+            j[n] = jnp.array(v, f32)
+        j["entry"] = (jnp.array(self._entry_np, f32)
+                      if self._entry_np is not None else None)
+        self.b_to_m1 = float(_np_log(hmm.b_to_m1))
+        self.b_to_i0 = float(_np_log(hmm.b_to_i0))
+        self.b_to_d1 = float(_np_log(hmm.b_to_d1))
+        self.i0_to_m1 = float(_np_log(hmm.i0_to_m1))
+        self.i0_to_i0 = float(_np_log(hmm.i0_to_i0))
+        self.log_loop = float(_np_log(length / (length + 1.0)))
+        self.log_exit = float(_np_log(1.0 / (length + 1.0)))
+        if mode == "plan7":
+            j["cloop"] = jnp.array(loop_closure(self.log_loop, enull0), f32)
+        self._fwd = jax.jit(self._forward_impl)
+
+    # ------------------------------------------------------------------ DP
+
+    def _row_core(self, B_hot, cold, hot, ix0_hot):
+        """Within-row sweep over nodes. `cold` values (arrived via a
+        transducer-only output move) may feed paired emission-absorption
+        moves but NOT generator-silent moves — the canonical interleaving
+        orders commuting generator-silent moves BEFORE transducer-only
+        moves, exactly as the reference's waiting-machine composition
+        (ref src/machine.cpp:1053-1145) admits each interleaving class
+        once. `hot` holds prev-row paired-emission arrivals (EMy/EIy)."""
+        j = self._j
+        K, St = self.K, self.St
+
+        u_hot = jnp.full((K, St), SR.zero, jnp.float32)
+        if self.local:
+            u_hot = j["entry"][:, None] + B_hot[None, :]
+        else:
+            u0 = self.b_to_m1 + B_hot
+            if ix0_hot is not None:
+                u0 = SR.add(u0, self.i0_to_m1 + ix0_hot)
+            u_hot = u_hot.at[0].set(u0)
+
+        b_mx = SR.add(_bvecmat(SR.add(u_hot, cold["M"]), j["em0"]),
+                      hot["Mx"])
+        cold_i_ei0 = _bvecmat(cold["I"], j["ei0"])
+        ix_aff_in = SR.add(cold_i_ei0, hot["Ix"])
+        i_aff = SR.add(j["m_to_i"][:, None] + b_mx,
+                       j["i_to_i"][:, None] + ix_aff_in)
+        b_ix = SR.add(_bvecmat(_bvecmat(i_aff, j["ci"]), j["ei0"]),
+                      ix_aff_in)
+        b_d = jnp.full((K, St), SR.zero, jnp.float32)
+        if not self.local:
+            b_d = b_d.at[0].set(self.b_to_d1 + B_hot)
+        b = jnp.concatenate([b_mx, b_ix, b_d], axis=-1)       # (K, 3St)
+
+        def combine(left, right):
+            a1, b1 = left
+            a2, b2 = right
+            return (SR.matmul(a1, a2),
+                    SR.add(SR.matmul(b1[:, None, :], a2)[:, 0, :], b2))
+
+        _, carry = jax.lax.associative_scan(combine, (j["a_mat"], b),
+                                            axis=0)
+        mx_hot = carry[:, 0:St]
+        ix_hot = carry[:, St:2 * St]
+        d_hot = carry[:, 2 * St:]
+
+        prev = jnp.concatenate(
+            [jnp.full((1, 3 * St), SR.zero, carry.dtype), carry[:-1]], 0)
+        lin = SR.add(
+            SR.add(jnp.roll(j["m_to_m"], 1)[:, None] + prev[:, 0:St],
+                   jnp.roll(j["i_to_m"], 1)[:, None] + prev[:, St:2 * St]),
+            jnp.roll(j["d_to_m"], 1)[:, None] + prev[:, 2 * St:])
+        m_hot = SR.add(lin, u_hot)
+        i_hot = _bvecmat(
+            SR.add(j["m_to_i"][:, None] + mx_hot,
+                   j["i_to_i"][:, None] + ix_aff_in), j["ci"])
+        return m_hot, mx_hot, i_hot, ix_hot, d_hot
+
+    def _row_E(self, m_hot, mx_hot, i_hot, ix_hot, d_hot):
+        """Exits to E are generator-silent: hot values only."""
+        j = self._j
+        K = self.K
+        if self.local:
+            e = SR.reduce(jnp.concatenate([m_hot, d_hot], 0), axis=0)
+        else:
+            e = SR.add(j["m_to_m"][K - 1] + mx_hot[K - 1],
+                       j["d_to_m"][K - 1] + d_hot[K - 1])
+        return SR.add(e, j["i_to_m"][K - 1] + ix_hot[K - 1])
+
+    def _solve_row(self, cold, hot, first):
+        """cold: per-class prev-row Ty0 arrivals; hot: per-class prev-row
+        paired-emission arrivals; first: start vector at row 0 or None.
+        Returns full (hot (+) cold) per-class values for the row."""
+        j = self._j
+        St = self.St
+        zero_v = jnp.full((St,), SR.zero, jnp.float32)
+
+        if self.mode == "plan7":
+            nx_in = SR.add(hot["Nx"], SR.vecmat(cold["N"], j["enull0"]))
+            if first is not None:
+                nx_in = SR.add(nx_in, first)
+            nx_hot = SR.vecmat(nx_in, j["cloop"])
+            n_hot = self.log_loop + nx_hot
+            B0_hot = self.log_exit + nx_hot
+            ix0_hot = None
+        else:
+            nx_hot = n_hot = zero_v
+            B0_hot = first if first is not None else zero_v
+            if self.local:
+                ix0_hot = None
+            else:
+                x = SR.add(
+                    SR.vecmat(SR.add(self.b_to_i0 + B0_hot, cold["I0"]),
+                              j["eins00"]), hot["Ix0"])
+                ix0_hot = SR.vecmat(x, j["ci00"])
+
+        B_hot = B0_hot
+        e_hot = jx_hot = j_hot = zero_v
+        m_hot = mx_hot = i_hot = ix_hot = d_hot = None
+        for _ in range(self.n_hit):
+            m_hot, mx_hot, i_hot, ix_hot, d_hot = self._row_core(
+                B_hot, cold, hot, ix0_hot)
+            e_hot = self._row_E(m_hot, mx_hot, i_hot, ix_hot, d_hot)
+            if self.mode == "plan7" and self.multihit:
+                jx_in = SR.add(
+                    SR.add(hot["Jx"], SR.vecmat(cold["J"], j["enull0"])),
+                    float(np.log(0.5)) + e_hot)
+                jx_hot = SR.vecmat(jx_in, j["cloop"])
+                j_hot = self.log_loop + jx_hot
+                B_hot = SR.add(B0_hot, self.log_exit + jx_hot)
+            else:
+                break
+
+        val_E = SR.add(e_hot, cold["E"])
+        if self.mode == "plan7":
+            e_to_c = float(np.log(0.5)) if self.multihit else 0.0
+            cx_in = SR.add(
+                SR.add(hot["Cx"], SR.vecmat(cold["C"], j["enull0"])),
+                e_to_c + e_hot)
+            cx_hot = SR.vecmat(cx_in, j["cloop"])
+            c_hot = self.log_loop + cx_hot
+            t_hot = self.log_exit + cx_hot
+            val_T = SR.add(t_hot, cold["T"])
+        else:
+            cx_hot = c_hot = zero_v
+            val_T = val_E
+        if ix0_hot is not None:
+            i0_hot = SR.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
+            val_I0 = SR.add(i0_hot, cold["I0"])
+            val_Ix0 = SR.add(ix0_hot, cold["Ix0"])
+        else:
+            val_I0 = val_Ix0 = zero_v
+        return {"M": SR.add(m_hot, cold["M"]),
+                "Mx": SR.add(mx_hot, cold["Mx"]),
+                "I": SR.add(i_hot, cold["I"]),
+                "Ix": SR.add(ix_hot, cold["Ix"]),
+                "D": SR.add(d_hot, cold["D"]),
+                "N": SR.add(n_hot, cold["N"]),
+                "Nx": SR.add(nx_hot, cold["Nx"]),
+                "B": SR.add(B_hot, cold["B"]),
+                "E": val_E,
+                "C": SR.add(c_hot, cold["C"]),
+                "Cx": SR.add(cx_hot, cold["Cx"]),
+                "J": SR.add(j_hot, cold["J"]),
+                "Jx": SR.add(jx_hot, cold["Jx"]),
+                "T": val_T, "I0": val_I0, "Ix0": val_Ix0}
+
+    def _forward_impl(self, out_toks, out_len):
+        """out_toks: (Lo,) output token ids (tokenizer space, >=1)."""
+        j = self._j
+        K, St = self.K, self.St
+        zero_v = jnp.full((St,), SR.zero, jnp.float32)
+        zero_kv = jnp.full((K, St), SR.zero, jnp.float32)
+        start = zero_v.at[0].set(0.0)
+        start = SR.vecmat(start, j["t_closure"])
+
+        def zeros():
+            cold = {n: zero_kv for n in ("M", "Mx", "I", "Ix", "D")}
+            cold.update({n: zero_v for n in ("N", "Nx", "B", "E", "C", "Cx",
+                                             "J", "Jx", "T", "I0", "Ix0")})
+            hot = {"Mx": zero_kv, "Ix": zero_kv, "Nx": zero_v,
+                   "Cx": zero_v, "Jx": zero_v, "Ix0": zero_v}
+            return cold, hot
+
+        cold0, hot0 = zeros()
+        row0 = self._solve_row(cold0, hot0, start)
+
+        def step(row, inp):
+            y, pos = inp
+            ty = j["ty0"][y]                                  # (St, St)
+            tay_y = j["tay"][:, y]                            # (A, St, St)
+            emy = SR.reduce(
+                j["m_emit"][:, :, None, None] + tay_y[None], axis=1)
+            eiy = SR.reduce(
+                j["i_emit"][:, :, None, None] + tay_y[None], axis=1)
+            enully = SR.reduce(
+                j["null_emit"][:, None, None] + tay_y, axis=0)
+            eins0y = SR.reduce(
+                j["ins0_emit"][:, None, None] + tay_y, axis=0)
+
+            def kmove(v, m):                                  # (K,St)@(St,St)
+                return SR.matmul(v[:, None, :],
+                                 jnp.broadcast_to(m, (v.shape[0],) + m.shape)
+                                 )[:, 0, :]
+
+            cold = {n: kmove(row[n], ty)
+                    for n in ("M", "Mx", "I", "Ix", "D")}
+            cold.update({n: SR.vecmat(row[n], ty)
+                         for n in ("N", "Nx", "B", "E", "C", "Cx",
+                                   "J", "Jx", "T", "I0", "Ix0")})
+            hot = {"Mx": _bvecmat(row["M"], emy),
+                   "Ix": _bvecmat(row["I"], eiy),
+                   "Nx": SR.vecmat(row["N"], enully),
+                   "Cx": SR.vecmat(row["C"], enully),
+                   "Jx": SR.vecmat(row["J"], enully),
+                   "Ix0": SR.vecmat(row["I0"], eins0y)}
+            new_row = self._solve_row(cold, hot, None)
+            keep = pos < out_len
+            merged = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, a, b), new_row, row)
+            return merged, None
+
+        Lo = out_toks.shape[0]
+        final, _ = jax.lax.scan(step, row0, (out_toks, jnp.arange(Lo)))
+        return final["T"][St - 1]
+
+    # ------------------------------------------------------------- public
+
+    def forward(self, out_syms):
+        toks = jnp.array(
+            [self.td_ev.output_tokenizer.sym2tok[c] for c in out_syms],
+            jnp.int32)
+        return float(self._fwd(toks, jnp.int32(len(out_syms))))

@@ -37,6 +37,139 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
+                   # refs:
+                   m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
+                   c0_ref, xoh_ref, ydiag_ref, icell_ref, dfin_ref,
+                   res_ref,
+                   slabA, slabB, mA, mB):
+    """Merged-matmul body: the closure matrix is pre-folded into every
+    neighbor matrix (cur = C@(up+left+diag) = (C@U)p + (C@L)p_l + (C@D)p_d),
+    and the up + diag products share one wide dot:
+
+        out (To*S, chunk) = M_ud (To*S, S + Ti*S) @ [p_up*w_up ; xstack]
+
+    with xstack[(ti,s)] = p_diag*w_diag*xoh[ti]. Both terms select the
+    output block by the cell's output token (one pass). The left term has
+    no output-token dependence, so it is input-masked instead:
+
+        sl (S, chunk) = M_left (S, Ti*S) @ lstack,
+        lstack[(ti,s)] = p_left*w_left*xoh[ti]
+
+    This removes the separate closure matmul and runs the former
+    64-deep contractions (up, closure) inside full-depth dots."""
+    d = pl.program_id(0)
+    cells = B * W
+    chunk = cells // n_chunks
+
+    i_cells = icell_ref[:]
+    valid = (i_cells <= d) & (i_cells >= d - Lo) & (i_cells <= Li)
+
+    @pl.when(d == 0)
+    def _init():
+        init_mask = ((i_cells == 0) & valid).astype(jnp.float32)
+        row0 = c0_ref[:]                         # (S, 1) closure^T col 0
+        slabB[:] = row0 * init_mask
+        mB[:] = jnp.where(init_mask > 0, 0.0, NEG_INF)
+        slabA[:] = jnp.zeros_like(slabA)
+        mA[:] = jnp.full_like(mA, NEG_INF)
+        endp = slabB[S - 1:S, :]
+        val0 = jnp.where(endp > 0,
+                         jnp.log(jnp.maximum(endp, 1e-37)),
+                         jnp.full_like(mB, NEG_INF))
+        res_ref[:] = jnp.where((dfin_ref[:] == 0) & (init_mask > 0), val0,
+                               jnp.full_like(mB, NEG_INF))
+
+    def body(p1_ref, m1_ref, p2_ref, m2_ref):
+        m1 = m1_ref[:]
+        boundary = i_cells > 0
+        dn = (((1,), (0,)), ((), ()))
+
+        def rollc(x):
+            return pltpu.roll(x, 1, 1)
+
+        def mm(mat_ref, lo_ref, x):
+            if not split:
+                return jax.lax.dot_general(
+                    mat_ref[:], x, dn, precision=precision,
+                    preferred_element_type=jnp.float32)
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xlo = x - xhi
+            dd = jax.lax.dot_general
+            return (dd(mat_ref[:], xhi, dn,
+                       preferred_element_type=jnp.float32)
+                    + dd(mat_ref[:], xlo, dn,
+                         preferred_element_type=jnp.float32)
+                    + dd(lo_ref[:], xhi, dn,
+                         preferred_element_type=jnp.float32))
+
+        mu_parts = []
+        for c in range(n_chunks):
+            lo_c, hi_c = c * chunk, (c + 1) * chunk
+            bnd = boundary[:, lo_c:hi_c]
+            m1c = m1_ref[:, lo_c:hi_c]
+            m2c = m2_ref[:, lo_c:hi_c]
+            m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+            m2s = jnp.where(bnd, rollc(m2c), NEG_INF)
+            mu_c = jnp.maximum(jnp.maximum(m1c, m1s), m2s)
+            mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
+            w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+            w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+            w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+            mu_parts.append(mu_c)
+
+            p1c = p1_ref[:, lo_c:hi_c]
+            p1s = jnp.where(bnd, rollc(p1c), 0.0)
+            p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+
+            xoh_c = xoh_ref[:, lo_c:hi_c]
+            yoh_c = ydiag_ref[0, :, lo_c:hi_c]
+
+            pd = p2s * w_diag
+            z_parts = [p1c * w_up] + [pd * xoh_c[t:t + 1, :]
+                                      for t in range(Ti)]
+            zp = m_ud_ref.shape[1] - (S + Ti * S)
+            if zp:
+                z_parts.append(jnp.zeros((zp, chunk), jnp.float32))
+            z = jnp.concatenate(z_parts, axis=0)        # (ZP, chunk)
+            out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+
+            pl_ = p1s * w_left
+            l_parts = [pl_ * xoh_c[t:t + 1, :] for t in range(Ti)]
+            lz = jnp.concatenate(l_parts, axis=0)       # (Ti*S, chunk)
+            sl = mm(m_left_ref, m_left_lo_ref, lz)
+
+            cur = sl
+            for t in range(To):
+                cur += out_ud[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
+            p2_ref[:, lo_c:hi_c] = cur
+        mu = jnp.concatenate(mu_parts, axis=1)
+
+        curv = p2_ref[:]
+        mx = jnp.max(curv, axis=0, keepdims=True)
+        has = (mx > 0) & valid
+        curv = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
+        m_new = jnp.where(has, mu + jnp.log(jnp.maximum(mx, 1e-37)),
+                          NEG_INF)
+        p2_ref[:] = curv
+        m2_ref[:] = m_new
+
+        fin = (dfin_ref[:] == d) & has
+        endp = curv[S - 1:S, :]
+        val = jnp.where(endp > 0,
+                        m_new + jnp.log(jnp.maximum(endp, 1e-37)),
+                        jnp.full_like(m_new, NEG_INF))
+        res_ref[:] = jnp.where(fin, val, res_ref[:])
+
+    @pl.when((d > 0) & (d % 2 == 1))
+    def _odd():
+        body(slabB, mB, slabA, mA)
+
+    @pl.when((d > 0) & (d % 2 == 0))
+    def _even():
+        body(slabA, mA, slabB, mB)
+
+
 def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                       # refs:
                       diag2_ref, left_cat_ref, up_cat_ref, closure_ref,
@@ -169,7 +302,8 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
-                           n_chunks=None, interpret=False, split=True):
+                           n_chunks=None, interpret=False, split=True,
+                           merged=True):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
@@ -238,34 +372,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
 
     n_diags = Li + Lo + 1
 
-    kernel = functools.partial(_wavefront_kernel, Ti, To, S, B, W, Li,
-                               Lo, n_chunks, precision, split)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(n_diags,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
-            pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
-            pl.BlockSpec((1, To, cells), lambda d: (d, 0, 0),
-                         memory_space=pltpu.VMEM),           # ydiag
-            pl.BlockSpec(memory_space=pltpu.VMEM),           # icell
-            pl.BlockSpec(memory_space=pltpu.VMEM),           # dfin
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((S, cells), jnp.float32),
-            pltpu.VMEM((S, cells), jnp.float32),
-            pltpu.VMEM((1, cells), jnp.float32),
-            pltpu.VMEM((1, cells), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
-
-    @jax.jit
-    def forward(in_toks, out_toks, in_lens, out_lens):
+    def _prep(in_toks, out_toks, in_lens, out_lens):
         i_idx = jnp.arange(W)
         Li_c = max(Li, 1)
         x_gather = jnp.where(
@@ -290,12 +397,106 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         cell_ids = jnp.arange(B) * W + in_lens.astype(jnp.int32)
         dfin_cells = dfin_cells.at[0, cell_ids].set(
             (in_lens + out_lens).astype(jnp.int32))
+        return xoh_t, ydiag, dfin_cells, cell_ids
 
-        res_cells = call(jnp.array(diag2_hi), jnp.array(left_hi),
-                         jnp.array(up_hi), jnp.array(closure_hi),
-                         jnp.array(diag2_lo), jnp.array(left_lo),
-                         jnp.array(up_lo), jnp.array(closure_lo),
-                         xoh_t, ydiag, jnp.array(i_cell), dfin_cells)
+    if merged:
+        # closure folded into every neighbor matrix (cur = C@u distributes
+        # over the per-token output blocks); up and diag share one wide dot
+        closure64 = np.asarray(closure_p, np.float64)
+        cu_blocks = [closure64.T @ np.asarray(up_p[t], np.float64).T
+                     for t in range(To)]                       # (S, S) each
+        cd = np.zeros((To * S, Ti * S))
+        for to in range(To):
+            for ti in range(Ti):
+                cd[to * S:(to + 1) * S, ti * S:(ti + 1) * S] = \
+                    closure64.T @ np.asarray(diag_p[ti, to], np.float64).T
+        m_ud = np.concatenate(
+            [np.concatenate(cu_blocks, axis=0), cd], axis=1)   # (To*S, S+TiS)
+        ZP = _round_up(S + Ti * S, 128)
+        if ZP > S + Ti * S:
+            m_ud = np.concatenate(
+                [m_ud, np.zeros((To * S, ZP - S - Ti * S))], axis=1)
+        m_left = np.concatenate(
+            [closure64.T @ np.asarray(left_p[t], np.float64).T
+             for t in range(Ti)], axis=1)                      # (S, Ti*S)
+        m_ud = np.ascontiguousarray(m_ud).astype(np.float32)
+        m_left = np.ascontiguousarray(m_left).astype(np.float32)
+        m_ud_hi, m_ud_lo = hi_lo(m_ud)
+        m_left_hi, m_left_lo = hi_lo(m_left)
+        if not split:
+            m_ud_hi, m_left_hi = m_ud, m_left
+        c0 = np.ascontiguousarray(closure_t[:, 0:1]).astype(np.float32)
+
+        kernel = functools.partial(_merged_kernel, Ti, To, S, B, W, Li,
+                                   Lo, n_chunks, precision, split)
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_diags,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
+                pl.BlockSpec((1, To, cells), lambda d: (d, 0, 0),
+                             memory_space=pltpu.VMEM),           # ydiag
+                pl.BlockSpec(memory_space=pltpu.VMEM),           # icell
+                pl.BlockSpec(memory_space=pltpu.VMEM),           # dfin
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((S, cells), jnp.float32),
+                pltpu.VMEM((S, cells), jnp.float32),
+                pltpu.VMEM((1, cells), jnp.float32),
+                pltpu.VMEM((1, cells), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+        @jax.jit
+        def forward_merged(in_toks, out_toks, in_lens, out_lens):
+            xoh_t, ydiag, dfin_cells, cell_ids = _prep(in_toks, out_toks,
+                                                       in_lens, out_lens)
+            res_cells = call(jnp.array(m_ud_hi), jnp.array(m_left_hi),
+                             jnp.array(m_ud_lo), jnp.array(m_left_lo),
+                             jnp.array(c0), xoh_t, ydiag,
+                             jnp.array(i_cell), dfin_cells)
+            return res_cells[0, cell_ids]
+
+    kernel = functools.partial(_wavefront_kernel, Ti, To, S, B, W, Li,
+                               Lo, n_chunks, precision, split)
+
+    call2 = pl.pallas_call(
+        kernel,
+        grid=(n_diags,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
+            pl.BlockSpec((1, To, cells), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),           # ydiag
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # icell
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # dfin
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((S, cells), jnp.float32),
+            pltpu.VMEM((S, cells), jnp.float32),
+            pltpu.VMEM((1, cells), jnp.float32),
+            pltpu.VMEM((1, cells), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def forward(in_toks, out_toks, in_lens, out_lens):
+        xoh_t, ydiag, dfin_cells, cell_ids = _prep(in_toks, out_toks,
+                                                   in_lens, out_lens)
+        res_cells = call2(jnp.array(diag2_hi), jnp.array(left_hi),
+                          jnp.array(up_hi), jnp.array(closure_hi),
+                          jnp.array(diag2_lo), jnp.array(left_lo),
+                          jnp.array(up_lo), jnp.array(closure_lo),
+                          xoh_t, ydiag, jnp.array(i_cell), dfin_cells)
         return res_cells[0, cell_ids]
 
-    return forward
+    return forward_merged if merged else forward

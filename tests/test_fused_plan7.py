@@ -1,0 +1,103 @@
+"""Chain-specialized fused Plan7 engine vs composed-machine host oracle."""
+
+import numpy as np
+
+from machineboss_tpu.core.machine import Machine
+from machineboss_tpu.core.eval import EvaluatedMachine
+from machineboss_tpu.core.hmmer import HmmerModel
+from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+from machineboss_tpu.algo.dp_host import ForwardMatrix
+from machineboss_tpu.ops.fused_plan7 import Plan7Fused
+
+# tiny 3-node DNA profile; HMMER3 stores -ln(p), '*' = impossible
+_HMM = """\
+HMMER3/f [3.1b2 | February 2015]
+NAME  toy
+LENG  3
+ALPH  DNA
+HMM          A        C        G        T
+            m->m     m->i     m->d     i->m     i->i     d->m     d->d
+  COMPO   1.38629  1.38629  1.38629  1.38629
+          1.38629  1.38629  1.38629  1.38629
+          0.10536  2.35388  2.99573  0.61519  0.77653  0.00000  *
+      1   0.22314  2.30259  2.99573  2.99573      1 a - - -
+          1.38629  1.38629  1.38629  1.38629
+          0.16252  2.30259  2.99573  0.51083  0.91629  0.35667  1.20397
+      2   2.99573  0.35667  2.30259  1.89712      2 c - - -
+          1.09861  1.60944  1.60944  1.38629
+          0.22314  1.89712  2.99573  0.40048  1.10866  0.30111  1.35667
+      3   2.30259  2.99573  0.28768  1.89712      3 g - - -
+          1.38629  1.38629  1.38629  1.38629
+          0.01005  4.60517  *        0.45676  1.00239  0.00000  *
+//
+"""
+
+_TD = {"state": [
+    {"id": "loop", "trans": [
+        {"in": "A", "out": "A", "to": "loop", "weight": 0.5},
+        {"in": "A", "out": "C", "to": "loop", "weight": 0.1},
+        {"in": "C", "out": "C", "to": "loop", "weight": 0.5},
+        {"in": "C", "out": "G", "to": "loop", "weight": 0.1},
+        {"in": "G", "out": "G", "to": "loop", "weight": 0.5},
+        {"in": "G", "out": "T", "to": "loop", "weight": 0.1},
+        {"in": "T", "out": "T", "to": "loop", "weight": 0.5},
+        {"in": "T", "out": "A", "to": "loop", "weight": 0.1},
+        {"in": "A", "to": "loop", "weight": 0.08},
+        {"in": "C", "to": "loop", "weight": 0.08},
+        {"in": "G", "to": "loop", "weight": 0.06},
+        {"in": "T", "to": "loop", "weight": 0.06},
+        {"out": "A", "to": "loop", "weight": 0.03},
+        {"out": "G", "to": "loop", "weight": 0.02},
+        {"to": "end", "weight": 0.12}]},
+    {"id": "end", "trans": []}]}
+
+
+def _oracle(gen, td, out_seq):
+    comp = Machine.compose(gen, td)
+    ev = EvaluatedMachine(comp, comp.get_param_defs(True))
+    return ForwardMatrix(ev, SeqPair(NamedSeq("i", []),
+                                     NamedSeq("o", list(out_seq)))).log_like()
+
+
+def _setup():
+    hmm = HmmerModel()
+    hmm.read(_HMM)
+    td = Machine.from_json(_TD)
+    td_ev = EvaluatedMachine(td, td.get_param_defs(True))
+    return hmm, td, td_ev
+
+
+def test_fused_core_global():
+    hmm, td, td_ev = _setup()
+    fused = Plan7Fused(hmm, td_ev, mode="core", local=False)
+    for seq in ("ACG", "AACGT", "", "GT"):
+        want = _oracle(hmm.machine(local=False), td, seq)
+        got = fused.forward(list(seq))
+        if want == -np.inf:
+            assert got < -1e20, (seq, got)
+        else:
+            assert abs(got - want) < 2e-3, (seq, want, got)
+
+
+def test_fused_core_local():
+    hmm, td, td_ev = _setup()
+    fused = Plan7Fused(hmm, td_ev, mode="core", local=True)
+    for seq in ("ACG", "AC", "CGT", "A"):
+        want = _oracle(hmm.machine(local=True), td, seq)
+        got = fused.forward(list(seq))
+        if want == -np.inf:
+            assert got < -1e20, (seq, got)
+        else:
+            assert abs(got - want) < 2e-3, (seq, want, got)
+
+
+def test_fused_plan7_single_multihit():
+    hmm, td, td_ev = _setup()
+    for multihit in (False, True):
+        fused = Plan7Fused(hmm, td_ev, mode="plan7", multihit=multihit,
+                           length=10.0, n_hit=4)
+        for seq in ("ACG", "TTACGACGTT"):
+            want = _oracle(hmm.plan7_machine(multihit=multihit, length=10.0),
+                           td, seq)
+            got = fused.forward(list(seq))
+            assert abs(got - want) < 5e-3, (multihit, seq, want, got)

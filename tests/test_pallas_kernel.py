@@ -46,14 +46,16 @@ def test_pallas_wavefront_interpret():
         ol[n] = len(to)
         hosts.append(ForwardMatrix(ev, SeqPair(
             NamedSeq("i", i_s), NamedSeq("o", o_s))).log_like())
-    for split in (False, True):
-        fwd = make_wavefront_forward(ad, al, au, cl, B, Li, Lo,
-                                     interpret=True, split=split)
-        dev = np.array(fwd(jnp.array(it), jnp.array(ot), jnp.array(il),
-                           jnp.array(ol)))
-        for n in range(B):
-            if hosts[n] == -np.inf:
-                assert dev[n] < -1e20, (split, n)
-            else:
-                assert abs(dev[n] - hosts[n]) < TOL, (split, n, hosts[n],
-                                                      dev[n])
+    for merged in (False, True):
+        for split in (False, True):
+            fwd = make_wavefront_forward(ad, al, au, cl, B, Li, Lo,
+                                         interpret=True, split=split,
+                                         merged=merged)
+            dev = np.array(fwd(jnp.array(it), jnp.array(ot), jnp.array(il),
+                               jnp.array(ol)))
+            for n in range(B):
+                if hosts[n] == -np.inf:
+                    assert dev[n] < -1e20, (merged, split, n)
+                else:
+                    assert abs(dev[n] - hosts[n]) < TOL, \
+                        (merged, split, n, hosts[n], dev[n])

@@ -39,49 +39,60 @@ def fused_forward(g_emit, g_closure, t_tensor, t_closure, out_toks, out_len,
     out_toks: (Lo,) 0-based observed output tokens; out_len: actual length.
 
     Silent composite paths decompose uniquely as alternations of G-silent
-    runs (folded into g_closure), T-silent runs (t_closure), and PAIRED
-    silent moves (G emits a, T absorbs it silently); only the paired count
-    is iterated, bounded by n_pair_iters per output position.
+    runs (folded into g_closure), T-silent runs (t_closure, folded on the
+    right of every T move), and PAIRED silent moves (G emits a, T absorbs
+    it silently); only the paired count is iterated, bounded by
+    n_pair_iters per output position.
+
+    Interleaving canonicalization: values that arrive via a T-only output
+    move ("cold") may feed paired moves but NOT g_closure — commuting
+    (G-silent, T-only) adjacent pairs are ordered G-first, admitting each
+    interleaving class once, exactly like the reference's waiting-machine
+    composition (ref src/machine.cpp:1053-1145).
     """
     A, Sg, _ = g_emit.shape
     St = t_tensor.shape[-1]
     dtype = g_emit.dtype
     g_emit_t = jnp.swapaxes(g_emit, -1, -2)
     g_closure_t = jnp.swapaxes(g_closure, -1, -2)
+    # fold the T (eps,eps) closure into every T move matrix
+    tt = sr.matmul(t_tensor, t_closure)
 
-    def close(c):
-        return sr.matmul(g_closure_t, sr.matmul(c, t_closure))
+    def close_g(c):
+        return sr.matmul(g_closure_t, c)
 
-    def paired_silent(c):
-        """One paired silent move with closures folded on both sides."""
+    def paired(c):
+        """One paired silent move (G emits a, T absorbs silently)."""
         ga_c = sr.matmul(g_emit_t, c[None])                       # (A,Sg,St)
-        both = sr.matmul(ga_c, t_tensor[1:, 0])                   # (A,Sg,St)
-        absorb = sr.reduce(jnp.moveaxis(both, 0, -1), axis=-1)
-        return close(absorb)
+        both = sr.matmul(ga_c, tt[1:, 0])                         # (A,Sg,St)
+        return sr.reduce(jnp.moveaxis(both, 0, -1), axis=-1)
 
-    def propagate(c):
-        # geometric series over paired-move count: sum_k P^k(close(c))
-        base = close(c)
+    def propagate_hot(base):
+        # h = close_g(base (+) paired(h)): geometric series over the
+        # paired-move count
+        base = close_g(base)
 
         def body(_, carry):
             acc, cur = carry
-            cur = paired_silent(cur)
+            cur = close_g(paired(cur))
             return sr.add(acc, cur), cur
 
         acc, _ = jax.lax.fori_loop(0, n_pair_iters, body, (base, base))
         return acc
 
     c0 = jnp.full((Sg, St), sr.zero, dtype).at[0, 0].set(sr.one)
-    c0 = propagate(c0)
+    c0 = propagate_hot(sr.matmul(c0, t_closure))
 
     def step(c, inp):
         tok, pos = inp
-        # T emits out symbol tok: either with G-emitted input or without
-        no_input = sr.matmul(c, t_tensor[0, tok + 1])
+        # T-only output move: cold — no generator closure may follow
+        cold = sr.matmul(c, tt[0, tok + 1])
+        # paired with output: G emits a, T consumes a and emits tok
         ga_c = sr.matmul(g_emit_t, c[None])                        # (A,Sg,St)
-        with_input = sr.matmul(ga_c, t_tensor[1:, tok + 1])
-        absorbed = sr.reduce(jnp.moveaxis(with_input, 0, -1), axis=-1)
-        c_new = propagate(sr.add(no_input, absorbed))
+        with_input = sr.matmul(ga_c, tt[1:, tok + 1])
+        hot0 = sr.reduce(jnp.moveaxis(with_input, 0, -1), axis=-1)
+        h = propagate_hot(sr.add(hot0, paired(cold)))
+        c_new = sr.add(h, cold)
         return jnp.where(pos < out_len, c_new, c), None
 
     Lo = out_toks.shape[0]

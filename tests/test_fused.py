@@ -61,3 +61,49 @@ def test_fused_hmmer_profile():
         assert dev < -1e20
     else:
         assert abs(dev - host) < TOL, (host, dev)
+
+
+def test_fused_interleaving_canonicalization():
+    """Generator silent moves + transducer insertions: commuting move
+    pairs must be counted once (regression: close() used to apply the
+    generator closure to T-only-move arrivals, overcounting)."""
+    import jax.numpy as jnp
+    from machineboss_tpu.core.machine import Machine
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+    from machineboss_tpu.algo.dp_host import ForwardMatrix
+    from machineboss_tpu.ops.fused import fused_forward, fused_tensors
+
+    gen = Machine.from_json({"state": [
+        {"id": "s0", "trans": [
+            {"out": "a", "to": "s0", "weight": 0.3},
+            {"to": "s1", "weight": 0.55},
+            {"out": "b", "to": "s1", "weight": 0.15}]},
+        {"id": "s1", "trans": [
+            {"out": "b", "to": "s1", "weight": 0.4},
+            {"to": "end", "weight": 0.6}]},
+        {"id": "end", "trans": []}]})
+    td = Machine.from_json({"state": [
+        {"id": "t", "trans": [
+            {"in": "a", "out": "a", "to": "t", "weight": 0.5},
+            {"in": "a", "out": "b", "to": "t", "weight": 0.1},
+            {"in": "b", "out": "b", "to": "t", "weight": 0.55},
+            {"in": "a", "to": "t", "weight": 0.1},
+            {"in": "b", "to": "t", "weight": 0.15},
+            {"out": "a", "to": "t", "weight": 0.08},
+            {"to": "tend", "weight": 0.2}]},
+        {"id": "tend", "trans": []}]})
+    gen_ev = EvaluatedMachine(gen, gen.get_param_defs(True))
+    td_ev = EvaluatedMachine(td, td.get_param_defs(True))
+    ge, gc, tt, tc = fused_tensors(gen_ev, td_ev)
+    comp = Machine.compose(gen, td)
+    ev = EvaluatedMachine(comp, comp.get_param_defs(True))
+    for seq in ("a", "b", "ab", "ba", "aab"):
+        want = ForwardMatrix(ev, SeqPair(
+            NamedSeq("i", []), NamedSeq("o", list(seq)))).log_like()
+        toks = jnp.array([td_ev.output_tokenizer.sym2tok[c] - 1
+                          for c in seq], jnp.int32)
+        got = float(fused_forward(jnp.array(ge), jnp.array(gc),
+                                  jnp.array(tt), jnp.array(tc), toks,
+                                  len(seq), n_pair_iters=8))
+        assert abs(got - want) < 1e-4, (seq, want, got)

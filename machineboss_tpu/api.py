@@ -172,3 +172,24 @@ def device_counts_batch(machine, seq_pairs, params=None, mesh=None):
     m = _machine(machine)
     pairs = SeqPairList([SeqPair(_seq(i), _seq(o)) for i, o in seq_pairs])
     return device_counts(m, _params(params, m), pairs, mesh=mesh)
+
+
+def fused_plan7_forward(hmm_path_or_model, transducer, out_seqs,
+                        params=None, mode="plan7", local=True,
+                        multihit=False, length=400.0):
+    """Forward log-likelihoods of output sequences under (profile HMM
+    generator) (x) (transducer), fused — no composite state space
+    (ref python/machineboss/jax/fused_plan7.py; API.md:205-223).
+
+    hmm_path_or_model: HMMER3 .hmm path or core.hmmer.HmmerModel;
+    transducer: machine/file/JSON whose input alphabet covers the HMM's.
+    Returns a list of floats (one per sequence in out_seqs)."""
+    from .core.hmmer import HmmerModel
+    from .ops.fused_plan7 import Plan7Fused
+    hmm = hmm_path_or_model if isinstance(hmm_path_or_model, HmmerModel) \
+        else HmmerModel.from_file(hmm_path_or_model)
+    td = _machine(transducer)
+    ev = EvaluatedMachine(td, _params(params, td))
+    fused = Plan7Fused(hmm, ev, mode=mode, local=local, multihit=multihit,
+                       length=length)
+    return [fused.forward(list(s)) for s in out_seqs]

@@ -83,6 +83,7 @@ def main():
     out_lens = jnp.full((B,), L, jnp.int32)
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
+    merged = os.environ.get("BENCH_MERGED", "0") == "1"
     run = None
     if engine == "pallas":
         try:
@@ -91,7 +92,7 @@ def main():
             fwd = make_wavefront_forward(np.array(a_diag),
                                          np.array(a_left),
                                          np.array(a_up), np.array(closure),
-                                         B, L, L)
+                                         B, L, L, merged=merged)
 
             def run():
                 return fwd(in_toks, out_toks, in_lens, out_lens)

@@ -303,7 +303,7 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
                            n_chunks=None, interpret=False, split=True,
-                           merged=True):
+                           merged=False):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))

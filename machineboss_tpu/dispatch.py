@@ -113,6 +113,64 @@ class CompiledMachine:
         return self.log_forward(input_seq, output_seq, strategy,
                                 viterbi=True)
 
+    def log_forward_batch(self, pairs, engine="auto", pad_multiple=16):
+        """Batched Forward over [(input_seq, output_seq), ...] on device.
+
+        engine: 'auto' picks the pallas wavefront kernel on TPU backends
+        (dense 2D machines) and the jnp wavefront elsewhere; 'wavefront'
+        forces the jnp engine; 'pallas' forces the kernel. Sequences are
+        right-padded to a shared bucket; per-sequence lengths mask the
+        padding. Returns a numpy (B,) array of log-likelihoods."""
+        import jax
+        import jax.numpy as jnp
+        from .ops.fwdback import pad_bucket
+
+        if not self.is_dense:
+            return np.array([self.log_forward(i, o) for i, o in pairs])
+        toks = [(self.in_toks(i), self.out_toks(o)) for i, o in pairs]
+        B = len(toks)
+        Li = pad_bucket(max((len(t[0]) for t in toks), default=1),
+                        base=pad_multiple)
+        Lo = pad_bucket(max((len(t[1]) for t in toks), default=1),
+                        base=pad_multiple)
+        it = np.zeros((B, Li), np.int32)
+        ot = np.zeros((B, Lo), np.int32)
+        il = np.zeros(B, np.int32)
+        ol = np.zeros(B, np.int32)
+        for n, (ti, to) in enumerate(toks):
+            it[n, :len(ti)] = ti
+            ot[n, :len(to)] = to
+            il[n] = len(ti)
+            ol[n] = len(to)
+
+        key = ("2d", "logsumexp")
+        if key not in self._cache:
+            self._cache[key] = tuple(jnp.array(x) for x in
+                                     self.lowered.matrices_2d())
+        a_diag, a_left, a_up, closure = self._cache[key]
+
+        if engine == "auto":
+            engine = "pallas" if jax.default_backend() not in (
+                "cpu",) else "wavefront"
+        if engine == "pallas":
+            pkey = ("pallas", B, Li, Lo)
+            if pkey not in self._cache:
+                from .ops.pallas.wavefront_kernel import \
+                    make_wavefront_forward
+                self._cache[pkey] = make_wavefront_forward(
+                    np.array(a_diag), np.array(a_left), np.array(a_up),
+                    np.array(closure), B, Li, Lo)
+            fn = self._cache[pkey]
+        else:
+            from .ops.wavefront_fast import forward_2d_wavefront_fast
+
+            def fn(i_t, o_t, i_l, o_l):
+                return forward_2d_wavefront_fast(
+                    a_diag, a_left, a_up, closure, i_t, o_t, i_l, o_l)
+
+        return np.array(fn(jnp.array(it), jnp.array(ot), jnp.array(il),
+                           jnp.array(ol)))
+
     def log_backward_lattice(self, input_seq, output_seq):
         import jax.numpy as jnp
         from .ops import dp2d

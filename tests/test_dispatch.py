@@ -40,3 +40,18 @@ def test_dispatch_1d_and_sparse():
     assert abs(cm.log_forward("", "AC", strategy="scan") - host) < TOL
     assert abs(cm.log_forward("", "AC", strategy="assoc") - host) < TOL
     assert abs(cm.log_forward("", "AC", strategy="sparse") - host) < TOL
+
+
+def test_log_forward_batch_matches_singles():
+    from conftest import REF
+    import json
+    from machineboss_tpu.dispatch import CompiledMachine
+    from machineboss_tpu.core.params import param_assign_from_json
+    with open(REF + "/t/io/params.json") as f:
+        params = param_assign_from_json(json.load(f))
+    cm = CompiledMachine(REF + "/t/machine/bitstutter-noise.json", params)
+    pairs = [("0110", "010"), ("1", "11"), ("00110", "00110"), ("0", "0")]
+    batch = cm.log_forward_batch(pairs, engine="wavefront")
+    for n, (i, o) in enumerate(pairs):
+        single = cm.log_forward(i, o)
+        assert abs(batch[n] - single) < 1e-3, (n, single, batch[n])

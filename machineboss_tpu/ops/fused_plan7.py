@@ -435,3 +435,21 @@ class Plan7Fused:
             [self.td_ev.output_tokenizer.sym2tok[c] for c in out_syms],
             jnp.int32)
         return float(self._fwd(toks, jnp.int32(len(out_syms))))
+
+    def forward_batch(self, seqs, pad_multiple=16):
+        """Score many output sequences in one vmapped device call.
+        Sequences are right-padded to a shared geometric bucket; padding
+        is masked by per-sequence lengths. Returns a numpy (B,) array."""
+        from .fwdback import pad_bucket
+        if not hasattr(self, "_fwd_batch"):
+            self._fwd_batch = jax.jit(jax.vmap(self._forward_impl))
+        B = len(seqs)
+        Lo = pad_bucket(max((len(s) for s in seqs), default=1),
+                        base=pad_multiple)
+        toks = np.ones((B, Lo), np.int32)
+        lens = np.zeros((B,), np.int32)
+        s2t = self.td_ev.output_tokenizer.sym2tok
+        for n, s in enumerate(seqs):
+            toks[n, :len(s)] = [s2t[c] for c in s]
+            lens[n] = len(s)
+        return np.array(self._fwd_batch(jnp.array(toks), jnp.array(lens)))

@@ -101,3 +101,14 @@ def test_fused_plan7_single_multihit():
                            td, seq)
             got = fused.forward(list(seq))
             assert abs(got - want) < 5e-3, (multihit, seq, want, got)
+
+
+def test_fused_plan7_forward_batch():
+    hmm, td, td_ev = _setup()
+    fused = Plan7Fused(hmm, td_ev, mode="plan7", multihit=False,
+                       length=10.0)
+    seqs = [list("ACG"), list("TTACG"), list("A"), list("GATTACA")]
+    batch = fused.forward_batch(seqs)
+    for n, s in enumerate(seqs):
+        single = fused.forward(s)
+        assert abs(batch[n] - single) < 1e-4, (n, single, batch[n])

@@ -84,6 +84,7 @@ def main():
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     merged = os.environ.get("BENCH_MERGED", "0") == "1"
+    n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
     run = None
     if engine == "pallas":
         try:
@@ -92,7 +93,8 @@ def main():
             fwd = make_wavefront_forward(np.array(a_diag),
                                          np.array(a_left),
                                          np.array(a_up), np.array(closure),
-                                         B, L, L, merged=merged)
+                                         B, L, L, merged=merged,
+                                         n_chunks=n_chunks)
 
             def run():
                 return fwd(in_toks, out_toks, in_lens, out_lens)

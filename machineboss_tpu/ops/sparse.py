@@ -130,3 +130,142 @@ def forward_2d_sparse(sm: SparseMachine, in_toks, out_toks):
         return row[Li, S - 1]
 
     return float(run())
+
+
+def _segment_combine(viterbi):
+    return segment_max if viterbi else segment_logsumexp
+
+
+def _combine(viterbi):
+    return jnp.maximum if viterbi else jnp.logaddexp
+
+
+class SparseMachineRev:
+    """Reverse-direction COO views for Backward fills (edges traversed
+    dst -> src; silent layers applied in reverse order)."""
+
+    def __init__(self, sm: SparseMachine):
+        self.sm = sm
+        self.n_states = sm.n_states
+
+    def class_contrib(self, next_cell, key, viterbi=False):
+        S = self.n_states
+        if key not in self.sm.classes:
+            return jnp.full((S,), NEG_INF, next_cell.dtype)
+        src, dst, lw = self.sm.classes[key]
+        return _segment_combine(viterbi)(next_cell[dst] + lw, src, S)
+
+    def apply_silent(self, cell, viterbi=False):
+        comb = _combine(viterbi)
+        seg = _segment_combine(viterbi)
+        S = self.n_states
+        for src, dst, lw in reversed(self.sm.silent_layers):
+            contrib = seg(cell[dst] + lw, src, S)
+            cell = comb(cell, contrib)
+        return cell
+
+
+def forward_1d_sparse(sm: SparseMachine, toks, output_side=True,
+                      viterbi=False):
+    """Sparse 1D Forward/Viterbi for a generator (output_side=True) or
+    recognizer; toks are 1-based token ids (host ints).
+    O(E) per position via segment scatters (the COO analog of the
+    reference's kernel_sparse.py 1D path)."""
+    S = sm.n_states
+    comb = _combine(viterbi)
+
+    @jax.jit
+    def run():
+        cell = jnp.full((S,), NEG_INF, jnp.float32).at[0].set(0.0)
+        cell = sm.apply_silent(cell) if not viterbi else \
+            _apply_silent_vit(sm, cell)
+        for t in toks:
+            key = (0, t) if output_side else (t, 0)
+            nxt = _class_contrib(sm, cell, key, viterbi)
+            cell = _apply_silent_vit(sm, nxt) if viterbi else \
+                sm.apply_silent(nxt)
+        return cell[S - 1]
+
+    return float(run())
+
+
+def _class_contrib(sm, prev_cell, key, viterbi=False):
+    S = sm.n_states
+    if key not in sm.classes:
+        return jnp.full((S,), NEG_INF, prev_cell.dtype)
+    src, dst, lw = sm.classes[key]
+    return _segment_combine(viterbi)(prev_cell[src] + lw, dst, S)
+
+
+def _apply_silent_vit(sm, cell):
+    S = sm.n_states
+    for src, dst, lw in sm.silent_layers:
+        contrib = segment_max(cell[src] + lw, dst, S)
+        cell = jnp.maximum(cell, contrib)
+    return cell
+
+
+def backward_1d_sparse(sm: SparseMachine, toks, output_side=True,
+                       viterbi=False):
+    """Sparse 1D Backward: fill from the end state; returns the same
+    total as Forward (invariant used by the tests)."""
+    S = sm.n_states
+    rev = SparseMachineRev(sm)
+
+    @jax.jit
+    def run():
+        cell = jnp.full((S,), NEG_INF, jnp.float32).at[S - 1].set(0.0)
+        cell = rev.apply_silent(cell, viterbi)
+        for t in reversed(toks):
+            key = (0, t) if output_side else (t, 0)
+            nxt = rev.class_contrib(cell, key, viterbi)
+            cell = rev.apply_silent(nxt, viterbi)
+        return cell[0]
+
+    return float(run())
+
+
+def backward_2d_sparse(sm: SparseMachine, in_toks, out_toks, viterbi=False):
+    """Sparse 2D Backward fill (reverse traversal); returns total
+    log-likelihood (cell (0,0,start))."""
+    S = sm.n_states
+    Li = len(in_toks)
+    Lo = len(out_toks)
+    rev = SparseMachineRev(sm)
+    comb = _combine(viterbi)
+
+    @jax.jit
+    def run():
+        neg = jnp.full((S,), NEG_INF, jnp.float32)
+
+        def make_row(next_row, o_tok):
+            # build row right-to-left; next_row is the o+1 row (or None)
+            cells = [None] * (Li + 1)
+            for i in range(Li, -1, -1):
+                c = neg
+                if next_row is None and i == Li:
+                    c = c.at[S - 1].set(0.0)
+                if next_row is not None:
+                    c = comb(c, rev.class_contrib(next_row[i], (0, o_tok),
+                                                  viterbi))
+                    if i < Li:
+                        c = comb(c, rev.class_contrib(
+                            next_row[i + 1], (in_toks[i], o_tok), viterbi))
+                if i < Li:
+                    c = comb(c, rev.class_contrib(
+                        cells[i + 1], (in_toks[i], 0), viterbi))
+                c = rev.apply_silent(c, viterbi)
+                cells[i] = c
+            return jnp.stack(cells)
+
+        row = make_row(None, None)
+        for o in range(Lo, 0, -1):
+            row = make_row(row, out_toks[o - 1])
+        return row[0, 0]
+
+    return float(run())
+
+
+def viterbi_2d_sparse(sm: SparseMachine, in_toks, out_toks):
+    """Sparse 2D Viterbi (max-plus) via the Backward fill."""
+    return backward_2d_sparse(sm, in_toks, out_toks, viterbi=True)

@@ -158,3 +158,44 @@ def test_posterior_lattice_sums_to_one():
     # the alignment path has posterior 1
     for k in range(4):
         assert abs(np.exp(post[k, k, 0]) - 1.0) < 1e-6, (k, post[k, k, 0])
+
+
+def test_pswm_backward_equals_forward():
+    from machineboss_tpu.ops.pswm import (forward_1d_pswm, backward_1d_pswm,
+                                          forward_2d_pswm, backward_2d_pswm,
+                                          pswm_from_tokens)
+    from machineboss_tpu.core.csvprof import CSVProfile
+    from machineboss_tpu.ops.semiring import MAXPLUS
+    gen = CSVProfile.from_file(REF + "/t/csv/test.csv").machine()
+    ev = EvaluatedMachine(gen, gen.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    emit = lm.log_trans[0, 1:]
+    _, closure = lm.emit_matrices_1d(output_side=True)
+    toks = jnp.array([ev.output_tokenizer.sym2tok[c] - 1 for c in "AC"],
+                     jnp.int32)
+    pswm = pswm_from_tokens(toks, emit.shape[0])
+    for sr in (LOGSUMEXP, MAXPLUS):
+        f = float(forward_1d_pswm(jnp.array(emit), jnp.array(closure),
+                                  pswm, 2, sr=sr))
+        b = float(backward_1d_pswm(jnp.array(emit), jnp.array(closure),
+                                   pswm, 2, sr=sr))
+        assert abs(f - b) < TOL, (sr.name, f, b)
+
+    m = Machine.from_file(REF + "/t/machine/bitstutter-noise.json")
+    with open(REF + "/t/io/params.json") as f2:
+        params = param_assign_from_json(json.load(f2))
+    ev2 = EvaluatedMachine(m, params)
+    lm2 = LoweredMachine(ev2, dtype=np.float32)
+    a_diag, a_left, a_up, closure2 = (jnp.array(x) for x in lm2.matrices_2d())
+    it = jnp.array([ev2.input_tokenizer.sym2tok[c] - 1 for c in "101"],
+                   jnp.int32)
+    ot = jnp.array([ev2.output_tokenizer.sym2tok[c] - 1 for c in "0011"],
+                   jnp.int32)
+    ip = pswm_from_tokens(it, a_diag.shape[0])
+    op = pswm_from_tokens(ot, a_diag.shape[1])
+    for sr in (LOGSUMEXP, MAXPLUS):
+        f = float(forward_2d_pswm(a_diag, a_left, a_up, closure2, ip, op,
+                                  3, 4, sr=sr))
+        b = float(backward_2d_pswm(a_diag, a_left, a_up, closure2, ip, op,
+                                   3, 4, sr=sr))
+        assert abs(f - b) < TOL, (sr.name, f, b)

@@ -121,10 +121,12 @@ def main():
     assert np.all(np.isfinite(lls)), "non-finite benchmark log-likelihoods"
 
     times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run().block_until_ready()
-        times.append(time.perf_counter() - t0)
+    from machineboss_tpu.utils.profiling import trace_if
+    with trace_if(os.environ.get("BENCH_PROFILE")):
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run().block_until_ready()
+            times.append(time.perf_counter() - t0)
     t = min(times)
 
     # state-cells: the reference counts (L+1)^2 * S per pair

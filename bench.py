@@ -85,6 +85,7 @@ def main():
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     merged = os.environ.get("BENCH_MERGED", "0") == "1"
     n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
+    split = os.environ.get("BENCH_SPLIT", "1") == "1"
     run = None
     if engine == "pallas":
         try:
@@ -94,7 +95,7 @@ def main():
                                          np.array(a_left),
                                          np.array(a_up), np.array(closure),
                                          B, L, L, merged=merged,
-                                         n_chunks=n_chunks)
+                                         n_chunks=n_chunks, split=split)
 
             def run():
                 return fwd(in_toks, out_toks, in_lens, out_lens)

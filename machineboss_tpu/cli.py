@@ -73,7 +73,7 @@ _APP_OPTS_VAL = {
     "--constraints", "--data", "--input-fasta", "--input-json",
     "--input-chars", "--output-fasta", "--output-json", "--output-chars",
     "--wiggle-room", "--beam-width", "--prefix-backtrack", "--decode-steps",
-    "--seed", "--codegen", "--inseq", "--outseq",
+    "--seed", "--codegen", "--inseq", "--outseq", "--engine",
 }
 _APP_OPTS_FLAG = {
     "--help", "--monochrome", "--graphviz", "--dot-no-merge", "--dot-show-io",
@@ -257,7 +257,8 @@ def _run(argv):
             raise CLIError("To fit parameters, please specify a constraints"
                            " file and (for machines with input/output) a data"
                            " file")
-        fitter = MachineFitter(machine=machine)
+        fitter = MachineFitter(machine=machine,
+                               engine=vm.get("--engine", "host"))
         if "--constraints" in vm:
             fitter.constraints = constraints
         fitter.constants = funcs
@@ -275,10 +276,22 @@ def _run(argv):
     # ---------------------------------------------------------------- loglike
     if "--loglike" in vm:
         ev = EvaluatedMachine(machine, params)
+        device_lls = None
+        if vm.get("--engine") == "device":
+            from .dispatch import CompiledMachine
+            cm = CompiledMachine(machine, params)
+            scorable = [sp for sp in data.seq_pairs if ev.can_tokenize(sp)]
+            lls = cm.log_forward_batch(
+                [("".join(sp.input.seq), "".join(sp.output.seq))
+                 for sp in scorable]) if scorable else []
+            device_lls = {id(sp): float(v)
+                          for sp, v in zip(scorable, lls)}
         out = ["["]
         for n, sp in enumerate(data.seq_pairs):
             ll = NEG_INF
-            if ev.can_tokenize(sp):
+            if device_lls is not None:
+                ll = device_lls.get(id(sp), NEG_INF)
+            elif ev.can_tokenize(sp):
                 ll = RollingForward(ev, sp).log_like()
             out.append((",\n " if n else "")
                        + '["%s","%s",%s]' % (write_escaped(sp.input.name),

@@ -55,3 +55,27 @@ def test_log_forward_batch_matches_singles():
     for n, (i, o) in enumerate(pairs):
         single = cm.log_forward(i, o)
         assert abs(batch[n] - single) < 1e-3, (n, single, batch[n])
+
+
+def test_cli_engine_device_loglike():
+    import io
+    import sys as _sys
+    from machineboss_tpu.cli import main as cli_main
+
+    def run(args):
+        out = io.StringIO()
+        old = _sys.stdout
+        _sys.stdout = out
+        try:
+            assert cli_main(args) == 0
+        finally:
+            _sys.stdout = old
+        return out.getvalue()
+
+    args = ["-g", "101", REF + "/t/machine/bitnoise.json",
+            "-a", "001", "-P", REF + "/t/io/params.json", "--loglike"]
+    host = run(args)
+    dev = run(args + ["--engine", "device"])
+    hv = float(host.strip()[1:-1].rsplit(",", 1)[-1].rstrip("]"))
+    dv = float(dev.strip()[1:-1].rsplit(",", 1)[-1].rstrip("]"))
+    assert abs(hv - dv) < 1e-3, (host, dev)

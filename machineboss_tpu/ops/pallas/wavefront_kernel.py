@@ -57,30 +57,33 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         lstack[(ti,s)] = p_left*w_left*xoh[ti]
 
     This removes the separate closure matmul and runs the former
-    64-deep contractions (up, closure) inside full-depth dots."""
-    d = pl.program_id(0)
+    64-deep contractions (up, closure) inside full-depth dots.
+
+    TWO diagonals are processed per grid step (even then odd), halving the
+    fixed per-step scheduling cost — measured ~80us/step at B=128-256,
+    i.e. ~30-40%% of wall clock at one diagonal per step."""
+    s_id = pl.program_id(0)
     cells = B * W
     chunk = cells // n_chunks
-
     i_cells = icell_ref[:]
-    valid = (i_cells <= d) & (i_cells >= d - Lo) & (i_cells <= Li)
 
-    @pl.when(d == 0)
-    def _init():
-        init_mask = ((i_cells == 0) & valid).astype(jnp.float32)
+    def init():
+        valid0 = i_cells == 0
+        init_mask = valid0.astype(jnp.float32)
         row0 = c0_ref[:]                         # (S, 1) closure^T col 0
         slabB[:] = row0 * init_mask
-        mB[:] = jnp.where(init_mask > 0, 0.0, NEG_INF)
+        mB[:] = jnp.where(valid0, 0.0, NEG_INF)
         slabA[:] = jnp.zeros_like(slabA)
         mA[:] = jnp.full_like(mA, NEG_INF)
         endp = slabB[S - 1:S, :]
         val0 = jnp.where(endp > 0,
                          jnp.log(jnp.maximum(endp, 1e-37)),
                          jnp.full_like(mB, NEG_INF))
-        res_ref[:] = jnp.where((dfin_ref[:] == 0) & (init_mask > 0), val0,
+        res_ref[:] = jnp.where((dfin_ref[:] == 0) & valid0, val0,
                                jnp.full_like(mB, NEG_INF))
 
-    def body(p1_ref, m1_ref, p2_ref, m2_ref):
+    def body(d, yoh, p1_ref, m1_ref, p2_ref, m2_ref):
+        valid = (i_cells <= d) & (i_cells >= d - Lo) & (i_cells <= Li)
         m1 = m1_ref[:]
         boundary = i_cells > 0
         dn = (((1,), (0,)), ((), ()))
@@ -123,7 +126,7 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
 
             xoh_c = xoh_ref[:, lo_c:hi_c]
-            yoh_c = ydiag_ref[0, :, lo_c:hi_c]
+            yoh_c = yoh[:, lo_c:hi_c]
 
             pd = p2s * w_diag
             z_parts = [p1c * w_up] + [pd * xoh_c[t:t + 1, :]
@@ -161,13 +164,22 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                         jnp.full_like(m_new, NEG_INF))
         res_ref[:] = jnp.where(fin, val, res_ref[:])
 
-    @pl.when((d > 0) & (d % 2 == 1))
-    def _odd():
-        body(slabB, mB, slabA, mA)
+    d_even = 2 * s_id
+    d_odd = d_even + 1
+    n_diags = Li + Lo + 1
 
-    @pl.when((d > 0) & (d % 2 == 0))
-    def _even():
-        body(slabA, mA, slabB, mB)
+    @pl.when(s_id == 0)
+    def _first():
+        init()
+
+    @pl.when(s_id > 0)
+    def _even_step():
+        # even diagonals live in slabB (read slabA of d-1, write slabB)
+        body(d_even, ydiag_ref[0, 0], slabA, mA, slabB, mB)
+
+    @pl.when(d_odd <= n_diags - 1)
+    def _odd_step():
+        body(d_odd, ydiag_ref[0, 1], slabB, mB, slabA, mA)
 
 
 def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
@@ -429,12 +441,13 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
 
         kernel = functools.partial(_merged_kernel, Ti, To, S, B, W, Li,
                                    Lo, n_chunks, precision, split)
+        n_steps = (Li + Lo) // 2 + 1
         call = pl.pallas_call(
             kernel,
-            grid=(n_diags,),
+            grid=(n_steps,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
-                pl.BlockSpec((1, To, cells), lambda d: (d, 0, 0),
+                pl.BlockSpec((1, 2, To, cells), lambda s: (s, 0, 0, 0),
                              memory_space=pltpu.VMEM),           # ydiag
                 pl.BlockSpec(memory_space=pltpu.VMEM),           # icell
                 pl.BlockSpec(memory_space=pltpu.VMEM),           # dfin
@@ -456,9 +469,13 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         def forward_merged(in_toks, out_toks, in_lens, out_lens):
             xoh_t, ydiag, dfin_cells, cell_ids = _prep(in_toks, out_toks,
                                                        in_lens, out_lens)
+            pad_rows = 2 * n_steps - n_diags
+            ydiag2 = jnp.concatenate(
+                [ydiag, jnp.zeros((pad_rows, To, cells), jnp.float32)],
+                axis=0).reshape(n_steps, 2, To, cells)
             res_cells = call(jnp.array(m_ud_hi), jnp.array(m_left_hi),
                              jnp.array(m_ud_lo), jnp.array(m_left_lo),
-                             jnp.array(c0), xoh_t, ydiag,
+                             jnp.array(c0), xoh_t, ydiag2,
                              jnp.array(i_cell), dfin_cells)
             return res_cells[0, cell_ids]
 

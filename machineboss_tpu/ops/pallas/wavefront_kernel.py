@@ -128,8 +128,11 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             xoh_c = xoh_ref[:, lo_c:hi_c]
             yoh_c = yoh[:, lo_c:hi_c]
 
-            pd = p2s * w_diag
-            z_parts = [p1c * w_up] + [pd * xoh_c[t:t + 1, :]
+            # fold the scalar weights into the (Ti, chunk) one-hot rows so
+            # the per-block multiplies are the only full (S, chunk) passes
+            xw_diag = xoh_c * w_diag
+            xw_left = xoh_c * w_left
+            z_parts = [p1c * w_up] + [p2s * xw_diag[t:t + 1, :]
                                       for t in range(Ti)]
             zp = m_ud_ref.shape[1] - (S + Ti * S)
             if zp:
@@ -137,8 +140,7 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             z = jnp.concatenate(z_parts, axis=0)        # (ZP, chunk)
             out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
 
-            pl_ = p1s * w_left
-            l_parts = [pl_ * xoh_c[t:t + 1, :] for t in range(Ti)]
+            l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
             lz = jnp.concatenate(l_parts, axis=0)       # (Ti*S, chunk)
             sl = mm(m_left_ref, m_left_lo_ref, lz)
 

@@ -84,7 +84,6 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 
     def body(d, yoh, p1_ref, m1_ref, p2_ref, m2_ref):
         valid = (i_cells <= d) & (i_cells >= d - Lo) & (i_cells <= Li)
-        m1 = m1_ref[:]
         boundary = i_cells > 0
         dn = (((1,), (0,)), ((), ()))
 
@@ -217,7 +216,6 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         # chunk boundaries coincide with sequence (W) boundaries, so the
         # i==0 mask also covers per-chunk roll wraparound: all shifts can be
         # done chunk-locally, avoiding full-slab temporaries in VMEM
-        m1 = m1_ref[:]                           # (1, cells)
         boundary = i_cells > 0
 
         def rollc(x):

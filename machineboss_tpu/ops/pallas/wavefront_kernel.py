@@ -38,6 +38,7 @@ def _round_up(x, m):
 
 
 def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
+                   rescale_every,
                    # refs:
                    m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
                    c0_ref, xoh_ref, ydiag_ref, icell_ref, dfin_ref,
@@ -133,10 +134,7 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             xw_left = xoh_c * w_left
             z_parts = [p1c * w_up] + [p2s * xw_diag[t:t + 1, :]
                                       for t in range(Ti)]
-            zp = m_ud_ref.shape[1] - (S + Ti * S)
-            if zp:
-                z_parts.append(jnp.zeros((zp, chunk), jnp.float32))
-            z = jnp.concatenate(z_parts, axis=0)        # (ZP, chunk)
+            z = jnp.concatenate(z_parts, axis=0)        # (S + Ti*S, chunk)
             out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
 
             l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
@@ -149,19 +147,27 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             p2_ref[:, lo_c:hi_c] = cur
         mu = jnp.concatenate(mu_parts, axis=1)
 
-        curv = p2_ref[:]
-        mx = jnp.max(curv, axis=0, keepdims=True)
-        has = (mx > 0) & valid
-        curv = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
-        m_new = jnp.where(has, mu + jnp.log(jnp.maximum(mx, 1e-37)),
-                          NEG_INF)
-        p2_ref[:] = curv
+        # the carried invariant is value = p * exp(m); p is allowed to
+        # drift below 1 between rescales (bounded decay over
+        # rescale_every steps keeps it in f32/bf16 normal range), so the
+        # 3 full-slab normalization passes run only every k-th diagonal
+        m_new = jnp.where(valid, mu, NEG_INF)
         m2_ref[:] = m_new
 
-        fin = (dfin_ref[:] == d) & has
-        endp = curv[S - 1:S, :]
+        @pl.when(d % rescale_every == 0)
+        def _rescale():
+            curv = p2_ref[:]
+            mx = jnp.max(curv, axis=0, keepdims=True)
+            has = (mx > 0) & valid
+            p2_ref[:] = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
+            m2_ref[:] = jnp.where(has,
+                                  m_new + jnp.log(jnp.maximum(mx, 1e-37)),
+                                  NEG_INF)
+
+        fin = (dfin_ref[:] == d) & valid
+        endp = p2_ref[S - 1:S, :]
         val = jnp.where(endp > 0,
-                        m_new + jnp.log(jnp.maximum(endp, 1e-37)),
+                        m2_ref[:] + jnp.log(jnp.maximum(endp, 1e-37)),
                         jnp.full_like(m_new, NEG_INF))
         res_ref[:] = jnp.where(fin, val, res_ref[:])
 
@@ -315,7 +321,7 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
                            n_chunks=None, interpret=False, split=True,
-                           merged=False):
+                           merged=False, rescale_every=4):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
@@ -424,10 +430,6 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                     closure64.T @ np.asarray(diag_p[ti, to], np.float64).T
         m_ud = np.concatenate(
             [np.concatenate(cu_blocks, axis=0), cd], axis=1)   # (To*S, S+TiS)
-        ZP = _round_up(S + Ti * S, 128)
-        if ZP > S + Ti * S:
-            m_ud = np.concatenate(
-                [m_ud, np.zeros((To * S, ZP - S - Ti * S))], axis=1)
         m_left = np.concatenate(
             [closure64.T @ np.asarray(left_p[t], np.float64).T
              for t in range(Ti)], axis=1)                      # (S, Ti*S)
@@ -440,7 +442,8 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         c0 = np.ascontiguousarray(closure_t[:, 0:1]).astype(np.float32)
 
         kernel = functools.partial(_merged_kernel, Ti, To, S, B, W, Li,
-                                   Lo, n_chunks, precision, split)
+                                   Lo, n_chunks, precision, split,
+                                   rescale_every)
         n_steps = (Li + Lo) // 2 + 1
         call = pl.pallas_call(
             kernel,

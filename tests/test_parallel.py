@@ -67,3 +67,41 @@ def test_state_sharded_equals_local():
     fn = state_sharded_scan_fn(mesh, axis="state")
     sharded = float(fn(jnp.array(tp), jnp.array(cp), toks, jnp.int32(L)))
     assert abs(local - sharded) < 1e-3, (local, sharded)
+
+
+def test_data_parallel_counts_equal_single_chip():
+    """1-chip == N-chip invariance for the EM E-step (psum reduction)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from machineboss_tpu.core.machine import Machine
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.fwdback import CountModel, tokenize_batch
+    from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+    from machineboss_tpu.parallel.em import sharded_counts_fn
+    from conftest import REF
+    import json
+    from machineboss_tpu.core.params import param_assign_from_json
+
+    m = Machine.from_file(REF + "/t/machine/bitnoise.json")
+    with open(REF + "/t/io/params.json") as f:
+        params = param_assign_from_json(json.load(f))
+    ev = EvaluatedMachine(m, params)
+    model = CountModel(ev, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    pairs = []
+    for _ in range(8):
+        li = rng.randint(2, 5)
+        pairs.append(SeqPair(
+            NamedSeq("i", ["01"[c] for c in rng.randint(0, 2, li)]),
+            NamedSeq("o", ["01"[c] for c in rng.randint(0, 2, li)])))
+    it, ot, il, ol = tokenize_batch(ev, pairs)
+    single_grads, single_total, _ = model.counts_and_loglike(it, ot, il, ol)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    fn = sharded_counts_fn(model, mesh)
+    with mesh:
+        grads, total = fn(model.logw, it, ot, il, ol)
+    assert abs(float(total) - float(single_total)) < 1e-3
+    assert np.allclose(np.array(grads), np.array(single_grads), atol=1e-3)

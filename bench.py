@@ -86,6 +86,7 @@ def main():
     merged = os.environ.get("BENCH_MERGED", "0") == "1"
     n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
+    variant = os.environ.get("BENCH_VARIANT") or None
     run = None
     if engine == "pallas":
         try:
@@ -95,7 +96,8 @@ def main():
                                          np.array(a_left),
                                          np.array(a_up), np.array(closure),
                                          B, L, L, merged=merged,
-                                         n_chunks=n_chunks, split=split)
+                                         n_chunks=n_chunks, split=split,
+                                         variant=variant)
 
             def run():
                 return fwd(in_toks, out_toks, in_lens, out_lens)

@@ -189,6 +189,160 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         body(d_odd, ydiag_ref[0, 1], slabB, mB, slabA, mA)
 
 
+def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
+                     # refs:
+                     m_ud_hi_ref, m_left_hi_ref, m_ud_lo_ref, m_left_lo_ref,
+                     c0_ref, xoh_ref, ydiag_ref, icell_ref, dfin_ref,
+                     res_ref,
+                     p1hi, p1lo, p2hi, p2lo, mscale):
+    """Per-SEQUENCE scale variant of the merged kernel.
+
+    The carried invariant is value = (phi + plo) * exp(M[seq]) where M is
+    uniform within each sequence's W-window of lanes. Lane rolls never
+    cross a window (boundary-masked), so neighbor cells and both diagonal
+    slabs share one scale — NO per-step weight multiplies, max-alignment,
+    or scale rolls are needed at all. Slabs are stored as pre-split bf16
+    (hi, lo) pairs, so the bf16x2 dot operands are built by pure masked
+    copies (exact in bf16) instead of full-precision multiplies + casts —
+    the dominant VPU cost of the per-cell-scale kernel.
+
+    Every `rescale_every`-th diagonal both slabs are jointly renormalized
+    by a per-window max (computed with log2(W) doubling rolls on a
+    (1, cells) vector) and M absorbs the log factor. Between rescales
+    values drift below 1; contributions more than ~85 nats below the
+    window ridge flush to zero — far beyond the reference's own 10-nat
+    log-sum-exp table cutoff (ref src/logsumexp.h:20-26)."""
+    s_id = pl.program_id(0)
+    cells = B * W
+    chunk = cells // n_chunks
+    i_cells = icell_ref[:]
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def split_write(dst_hi, dst_lo, sl_c, val):
+        hi = val.astype(bf16)
+        dst_hi[:, sl_c] = hi
+        dst_lo[:, sl_c] = (val - hi.astype(f32)).astype(bf16)
+
+    def init():
+        valid0 = i_cells == 0
+        row0 = c0_ref[:]                          # (S, 1) closure^T col 0
+        v0 = row0 * valid0.astype(f32)
+        h = v0.astype(bf16)
+        p1hi[:] = h
+        p1lo[:] = (v0 - h.astype(f32)).astype(bf16)
+        p2hi[:] = jnp.zeros_like(p2hi)
+        p2lo[:] = jnp.zeros_like(p2lo)
+        mscale[:] = jnp.zeros_like(mscale)
+        endp = v0[S - 1:S, :]
+        val0 = jnp.where(endp > 0,
+                         jnp.log(jnp.maximum(endp, 1e-37)),
+                         jnp.full((1, cells), NEG_INF, f32))
+        res_ref[:] = jnp.where((dfin_ref[:] == 0) & valid0, val0,
+                               jnp.full((1, cells), NEG_INF, f32))
+
+    def body(d, yoh, a_hi, a_lo, b_hi, b_lo):
+        """Read diagonal d-1 from (a_hi, a_lo), d-2 from (b_hi, b_lo),
+        write diagonal d into (b_hi, b_lo)."""
+        boundary = i_cells > 0
+        dn = (((1,), (0,)), ((), ()))
+
+        def rollc(x):
+            return pltpu.roll(x, 1, 1)
+
+        def mm3(mhi_ref, mlo_ref, zhi, zlo):
+            dd = jax.lax.dot_general
+            return (dd(mhi_ref[:], zhi, dn, preferred_element_type=f32)
+                    + dd(mhi_ref[:], zlo, dn, preferred_element_type=f32)
+                    + dd(mlo_ref[:], zhi, dn, preferred_element_type=f32))
+
+        for c in range(n_chunks):
+            sl_c = slice(c * chunk, (c + 1) * chunk)
+            bnd = boundary[:, sl_c]
+            zero_b = jnp.zeros((S, chunk), bf16)
+            p1c_hi = a_hi[:, sl_c]
+            p1c_lo = a_lo[:, sl_c]
+            p1s_hi = jnp.where(bnd, rollc(p1c_hi), zero_b)
+            p1s_lo = jnp.where(bnd, rollc(p1c_lo), zero_b)
+            p2s_hi = jnp.where(bnd, rollc(b_hi[:, sl_c]), zero_b)
+            p2s_lo = jnp.where(bnd, rollc(b_lo[:, sl_c]), zero_b)
+
+            xm = xoh_ref[:, sl_c] > 0.5                  # (Ti, chunk) bool
+            zhi = jnp.concatenate(
+                [p1c_hi] + [jnp.where(xm[t:t + 1, :], p2s_hi, zero_b)
+                            for t in range(Ti)], axis=0)
+            zlo = jnp.concatenate(
+                [p1c_lo] + [jnp.where(xm[t:t + 1, :], p2s_lo, zero_b)
+                            for t in range(Ti)], axis=0)
+            out_ud = mm3(m_ud_hi_ref, m_ud_lo_ref, zhi, zlo)
+
+            lzhi = jnp.concatenate(
+                [jnp.where(xm[t:t + 1, :], p1s_hi, zero_b)
+                 for t in range(Ti)], axis=0)
+            lzlo = jnp.concatenate(
+                [jnp.where(xm[t:t + 1, :], p1s_lo, zero_b)
+                 for t in range(Ti)], axis=0)
+            cur = mm3(m_left_hi_ref, m_left_lo_ref, lzhi, lzlo)
+
+            yoh_c = yoh[:, sl_c]
+            for t in range(To):
+                cur += out_ud[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
+            split_write(b_hi, b_lo, sl_c, cur)
+
+        @pl.when(d % rescale_every == 0)
+        def _rescale():
+            va = jnp.max(a_hi[:].astype(f32), axis=0, keepdims=True)
+            vb = jnp.max(b_hi[:].astype(f32), axis=0, keepdims=True)
+            v = jnp.maximum(va, vb)                      # (1, cells)
+            # per-window max: prefix-max by doubling, then broadcast the
+            # window max backwards — rolls never cross windows because
+            # cells outside [0, W) of a window are masked by i_cells
+            i_loc = i_cells
+            sh = 1
+            while sh < W:
+                rolled = pltpu.roll(v, sh, 1)
+                v = jnp.maximum(v, jnp.where(i_loc >= sh, rolled, 0.0))
+                sh *= 2
+            # v[c] = max over window cells [0..i(c)]; backward broadcast
+            sh = 1
+            while sh < W:
+                rolled = pltpu.roll(v, -sh % cells, 1)
+                v = jnp.maximum(v, jnp.where(i_loc < W - sh, rolled, 0.0))
+                sh *= 2
+            factor = jnp.where(v > 0, v, 1.0)
+            inv = 1.0 / factor
+            for hi_r, lo_r in ((a_hi, a_lo), (b_hi, b_lo)):
+                full = hi_r[:].astype(f32) + lo_r[:].astype(f32)
+                scaled = full * inv
+                h = scaled.astype(bf16)
+                hi_r[:] = h
+                lo_r[:] = (scaled - h.astype(f32)).astype(bf16)
+            mscale[:] = mscale[:] + jnp.log(factor)
+
+        fin = (dfin_ref[:] == d)
+        endp = (b_hi[S - 1:S, :].astype(f32) + b_lo[S - 1:S, :].astype(f32))
+        val = jnp.where(endp > 0,
+                        mscale[:] + jnp.log(jnp.maximum(endp, 1e-37)),
+                        jnp.full((1, cells), NEG_INF, f32))
+        res_ref[:] = jnp.where(fin, val, res_ref[:])
+
+    d_even = 2 * s_id
+    d_odd = d_even + 1
+    n_diags = Li + Lo + 1
+
+    @pl.when(s_id == 0)
+    def _first():
+        init()
+
+    @pl.when(s_id > 0)
+    def _even_step():
+        body(d_even, ydiag_ref[0, 0], p2hi, p2lo, p1hi, p1lo)
+
+    @pl.when(d_odd <= n_diags - 1)
+    def _odd_step():
+        body(d_odd, ydiag_ref[0, 1], p1hi, p1lo, p2hi, p2lo)
+
+
 def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                       # refs:
                       diag2_ref, left_cat_ref, up_cat_ref, closure_ref,
@@ -321,7 +475,7 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
                            n_chunks=None, interpret=False, split=True,
-                           merged=False, rescale_every=4):
+                           merged=False, rescale_every=4, variant=None):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
@@ -417,7 +571,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             (in_lens + out_lens).astype(jnp.int32))
         return xoh_t, ydiag, dfin_cells, cell_ids
 
-    if merged:
+    if merged or variant == "seqscale":
         # closure folded into every neighbor matrix (cur = C@u distributes
         # over the per-token output blocks); up and diag share one wide dot
         closure64 = np.asarray(closure_p, np.float64)
@@ -440,6 +594,58 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         if not split:
             m_ud_hi, m_left_hi = m_ud, m_left
         c0 = np.ascontiguousarray(closure_t[:, 0:1]).astype(np.float32)
+
+        if variant == "seqscale":
+            def bf_split(m):
+                hi = np.asarray(jnp.asarray(m).astype(jnp.bfloat16))
+                lo = np.asarray(jnp.asarray(m - hi.astype(np.float32))
+                                .astype(jnp.bfloat16))
+                return hi, lo
+
+            ud_hi, ud_lo = bf_split(m_ud)
+            l_hi, l_lo = bf_split(m_left)
+            kernel_ss = functools.partial(_seqscale_kernel, Ti, To, S, B, W,
+                                          Li, Lo, n_chunks, rescale_every)
+            n_steps_ss = (Li + Lo) // 2 + 1
+            call_ss = pl.pallas_call(
+                kernel_ss,
+                grid=(n_steps_ss,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 + [
+                    pl.BlockSpec(memory_space=pltpu.VMEM),       # xoh
+                    pl.BlockSpec((1, 2, To, cells), lambda s: (s, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),       # ydiag
+                    pl.BlockSpec(memory_space=pltpu.VMEM),       # icell
+                    pl.BlockSpec(memory_space=pltpu.VMEM),       # dfin
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((S, cells), jnp.bfloat16),
+                    pltpu.VMEM((S, cells), jnp.bfloat16),
+                    pltpu.VMEM((S, cells), jnp.bfloat16),
+                    pltpu.VMEM((S, cells), jnp.bfloat16),
+                    pltpu.VMEM((1, cells), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )
+
+            @jax.jit
+            def forward_seqscale(in_toks, out_toks, in_lens, out_lens):
+                xoh_t, ydiag, dfin_cells, cell_ids = _prep(
+                    in_toks, out_toks, in_lens, out_lens)
+                pad_rows = 2 * n_steps_ss - n_diags
+                ydiag2 = jnp.concatenate(
+                    [ydiag, jnp.zeros((pad_rows, To, cells), jnp.float32)],
+                    axis=0).reshape(n_steps_ss, 2, To, cells)
+                res_cells = call_ss(jnp.array(ud_hi), jnp.array(l_hi),
+                                    jnp.array(ud_lo), jnp.array(l_lo),
+                                    jnp.array(c0), xoh_t, ydiag2,
+                                    jnp.array(i_cell), dfin_cells)
+                return res_cells[0, cell_ids]
+
+            return forward_seqscale
 
         kernel = functools.partial(_merged_kernel, Ti, To, S, B, W, Li,
                                    Lo, n_chunks, precision, split,

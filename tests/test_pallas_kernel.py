@@ -46,11 +46,14 @@ def test_pallas_wavefront_interpret():
         ol[n] = len(to)
         hosts.append(ForwardMatrix(ev, SeqPair(
             NamedSeq("i", i_s), NamedSeq("o", o_s))).log_like())
-    for merged in (False, True):
+    for merged, variant in ((False, None), (True, None),
+                            (False, "seqscale")):
         for split in (False, True):
+            if variant == "seqscale" and not split:
+                continue
             fwd = make_wavefront_forward(ad, al, au, cl, B, Li, Lo,
                                          interpret=True, split=split,
-                                         merged=merged)
+                                         merged=merged, variant=variant)
             dev = np.array(fwd(jnp.array(it), jnp.array(ot), jnp.array(il),
                                jnp.array(ol)))
             for n in range(B):

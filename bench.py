@@ -67,7 +67,7 @@ def main():
 
     S = int(os.environ.get("BENCH_S", "64"))
     L = int(os.environ.get("BENCH_L", "200"))
-    B = int(os.environ.get("BENCH_B", "128"))
+    B = int(os.environ.get("BENCH_B", "256"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     alphabet = list("ACGT")
 
@@ -83,7 +83,7 @@ def main():
     out_lens = jnp.full((B,), L, jnp.int32)
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
-    merged = os.environ.get("BENCH_MERGED", "0") == "1"
+    merged = os.environ.get("BENCH_MERGED", "1") == "1"
     n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
     variant = os.environ.get("BENCH_VARIANT") or None

@@ -247,8 +247,16 @@ def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
         boundary = i_cells > 0
         dn = (((1,), (0,)), ((), ()))
 
-        def rollc(x):
-            return pltpu.roll(x, 1, 1)
+        def roll_pair(hi, lo, bnd, zero_b):
+            # Mosaic only rotates 32-bit data: combine the bf16 pair to
+            # f32, roll once, re-split. The split is a pure function of
+            # the value, so this matches rolling hi/lo individually.
+            full = hi.astype(f32) + lo.astype(f32)
+            r = pltpu.roll(full, 1, 1)
+            rh = r.astype(bf16)
+            rl = (r - rh.astype(f32)).astype(bf16)
+            return (jnp.where(bnd, rh, zero_b),
+                    jnp.where(bnd, rl, zero_b))
 
         def mm3(mhi_ref, mlo_ref, zhi, zlo):
             dd = jax.lax.dot_general
@@ -262,10 +270,9 @@ def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
             zero_b = jnp.zeros((S, chunk), bf16)
             p1c_hi = a_hi[:, sl_c]
             p1c_lo = a_lo[:, sl_c]
-            p1s_hi = jnp.where(bnd, rollc(p1c_hi), zero_b)
-            p1s_lo = jnp.where(bnd, rollc(p1c_lo), zero_b)
-            p2s_hi = jnp.where(bnd, rollc(b_hi[:, sl_c]), zero_b)
-            p2s_lo = jnp.where(bnd, rollc(b_lo[:, sl_c]), zero_b)
+            p1s_hi, p1s_lo = roll_pair(p1c_hi, p1c_lo, bnd, zero_b)
+            p2s_hi, p2s_lo = roll_pair(b_hi[:, sl_c], b_lo[:, sl_c],
+                                       bnd, zero_b)
 
             xm = xoh_ref[:, sl_c] > 0.5                  # (Ti, chunk) bool
             zhi = jnp.concatenate(

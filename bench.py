@@ -67,7 +67,7 @@ def main():
 
     S = int(os.environ.get("BENCH_S", "64"))
     L = int(os.environ.get("BENCH_L", "200"))
-    B = int(os.environ.get("BENCH_B", "256"))
+    B = int(os.environ.get("BENCH_B", "512"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     alphabet = list("ACGT")
 

@@ -38,10 +38,10 @@ def _round_up(x, m):
 
 
 def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
-                   rescale_every,
+                   rescale_every, sink,
                    # refs:
                    m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
-                   c0_ref, xoh_ref, ydiag_ref, icell_ref, dfin_ref,
+                   c0_ref, w_ref, xoh_ref, ydiag_ref, icell_ref, dfin_ref,
                    res_ref,
                    slabA, slabB, mA, mB):
     """Merged-matmul body: the closure matrix is pre-folded into every
@@ -62,11 +62,24 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 
     TWO diagonals are processed per grid step (even then odd), halving the
     fixed per-step scheduling cost — measured ~80us/step at B=128-256,
-    i.e. ~30-40%% of wall clock at one diagonal per step."""
+    i.e. ~30-40%% of wall clock at one diagonal per step.
+
+    With `sink=True` the slab holds only ACTIVE states: trailing silent
+    sink states (e.g. the End state) are trimmed on the host so S can hit
+    an MXU tile multiple (65 -> 64 turns the up+diag dot from 384x384 into
+    256x384 padded tiles). The readout value of the trimmed End state is
+    recovered as w^T p_active with w = inv(C_aa) @ C[active, End]
+    (host-precomputed closure algebra), valid because End has no outgoing
+    transitions and only silent incoming ones."""
     s_id = pl.program_id(0)
     cells = B * W
     chunk = cells // n_chunks
     i_cells = icell_ref[:]
+
+    def readout(p_ref):
+        if sink:
+            return jnp.sum(p_ref[:] * w_ref[:], axis=0, keepdims=True)
+        return p_ref[S - 1:S, :]
 
     def init():
         valid0 = i_cells == 0
@@ -76,7 +89,7 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         mB[:] = jnp.where(valid0, 0.0, NEG_INF)
         slabA[:] = jnp.zeros_like(slabA)
         mA[:] = jnp.full_like(mA, NEG_INF)
-        endp = slabB[S - 1:S, :]
+        endp = readout(slabB)
         val0 = jnp.where(endp > 0,
                          jnp.log(jnp.maximum(endp, 1e-37)),
                          jnp.full_like(mB, NEG_INF))
@@ -165,7 +178,7 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                                   NEG_INF)
 
         fin = (dfin_ref[:] == d) & valid
-        endp = p2_ref[S - 1:S, :]
+        endp = readout(p2_ref)
         val = jnp.where(endp > 0,
                         m2_ref[:] + jnp.log(jnp.maximum(endp, 1e-37)),
                         jnp.full_like(m_new, NEG_INF))
@@ -654,14 +667,64 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
 
             return forward_seqscale
 
-        kernel = functools.partial(_merged_kernel, Ti, To, S, B, W, Li,
+        # --- sink trim: drop trailing silent sink states from the slab ---
+        # A trailing block of states with no outgoing transitions (symbol
+        # rows all zero, closure row = identity) never feeds the DP; if
+        # additionally the readout state S-1 has only SILENT incoming
+        # transitions, its value is w^T p_active with
+        # w = inv(C_aa) @ C[active, End]. Trimming 65 -> 64 states turns
+        # the (To*S, S+Ti*S) dot from 384x384 into 256x384 padded tiles.
+        ztol = 1e-290
+        S_k, sink, w_vec = S, False, np.zeros((S, 1), np.float32)
+        eye = np.eye(S)
+        is_sink = np.array([
+            float(diag_p[:, :, s, :].sum() + left_p[:, s, :].sum()
+                  + up_p[:, s, :].sum()) < ztol
+            and float(np.abs(closure_p[s] - eye[s]).sum()) < ztol
+            for s in range(S)])
+        n_trail = 0
+        while n_trail < S - 1 and is_sink[S - 1 - n_trail]:
+            n_trail += 1
+        readout_silent_in = (
+            float(diag_p[:, :, :, S - 1].sum() + left_p[:, :, S - 1].sum()
+                  + up_p[:, :, S - 1].sum()) < ztol)
+        if n_trail > 0 and readout_silent_in:
+            Sa = S - n_trail
+            S_k, sink = Sa, True
+            c_aa = np.asarray(closure_p[:Sa, :Sa], np.float64)
+            c_ae = np.asarray(closure_p[:Sa, S - 1], np.float64)
+            w_vec = np.linalg.solve(c_aa, c_ae).reshape(Sa, 1) \
+                .astype(np.float32)
+            cu_a = [c_aa.T @ np.asarray(up_p[t, :Sa, :Sa], np.float64).T
+                    for t in range(To)]
+            cd_a = np.zeros((To * Sa, Ti * Sa))
+            for to in range(To):
+                for ti in range(Ti):
+                    cd_a[to * Sa:(to + 1) * Sa, ti * Sa:(ti + 1) * Sa] = \
+                        c_aa.T @ np.asarray(diag_p[ti, to, :Sa, :Sa],
+                                            np.float64).T
+            m_ud = np.concatenate(
+                [np.concatenate(cu_a, axis=0), cd_a], axis=1)
+            m_left = np.concatenate(
+                [c_aa.T @ np.asarray(left_p[t, :Sa, :Sa], np.float64).T
+                 for t in range(Ti)], axis=1)
+            m_ud = np.ascontiguousarray(m_ud).astype(np.float32)
+            m_left = np.ascontiguousarray(m_left).astype(np.float32)
+            m_ud_hi, m_ud_lo = hi_lo(m_ud)
+            m_left_hi, m_left_lo = hi_lo(m_left)
+            if not split:
+                m_ud_hi, m_left_hi = m_ud, m_left
+            c0 = np.ascontiguousarray(closure_t[:Sa, 0:1]) \
+                .astype(np.float32)
+
+        kernel = functools.partial(_merged_kernel, Ti, To, S_k, B, W, Li,
                                    Lo, n_chunks, precision, split,
-                                   rescale_every)
+                                   rescale_every, sink)
         n_steps = (Li + Lo) // 2 + 1
         call = pl.pallas_call(
             kernel,
             grid=(n_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 + [
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
                 pl.BlockSpec(memory_space=pltpu.VMEM),           # xoh
                 pl.BlockSpec((1, 2, To, cells), lambda s: (s, 0, 0, 0),
                              memory_space=pltpu.VMEM),           # ydiag
@@ -671,8 +734,8 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((S, cells), jnp.float32),
-                pltpu.VMEM((S, cells), jnp.float32),
+                pltpu.VMEM((S_k, cells), jnp.float32),
+                pltpu.VMEM((S_k, cells), jnp.float32),
                 pltpu.VMEM((1, cells), jnp.float32),
                 pltpu.VMEM((1, cells), jnp.float32),
             ],
@@ -691,8 +754,8 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                 axis=0).reshape(n_steps, 2, To, cells)
             res_cells = call(jnp.array(m_ud_hi), jnp.array(m_left_hi),
                              jnp.array(m_ud_lo), jnp.array(m_left_lo),
-                             jnp.array(c0), xoh_t, ydiag2,
-                             jnp.array(i_cell), dfin_cells)
+                             jnp.array(c0), jnp.array(w_vec), xoh_t,
+                             ydiag2, jnp.array(i_cell), dfin_cells)
             return res_cells[0, cell_ids]
 
     kernel = functools.partial(_wavefront_kernel, Ti, To, S, B, W, Li,

@@ -27,16 +27,20 @@ def _machine(m):
 
 
 def _params(p, machine=None, use_defaults=True):
-    if isinstance(p, Params):
-        return p
     if isinstance(p, dict):
-        return param_assign_from_json(p)
-    if isinstance(p, str):
+        p = param_assign_from_json(p)
+    elif isinstance(p, str):
         with open(p) as f:
-            return param_assign_from_json(json.load(f))
-    if p is None and machine is not None:
-        return machine.get_param_defs(use_defaults)
-    return Params()
+            p = param_assign_from_json(json.load(f))
+    if p is None:
+        return machine.get_param_defs(use_defaults) if machine is not None \
+            else Params()
+    if machine is not None:
+        # fill in the machine's own defs and constraint defaults; explicit
+        # user params win (same merge as the CLI, ref target/boss.cpp
+        # params handling)
+        p = machine.get_param_defs(use_defaults).combine(p, True)
+    return p
 
 
 def _seq(s):

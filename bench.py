@@ -87,6 +87,7 @@ def main():
     n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
     variant = os.environ.get("BENCH_VARIANT") or None
+    chain = int(os.environ.get("BENCH_CHAIN", "8"))
     run = None
     if engine == "pallas":
         try:
@@ -97,7 +98,7 @@ def main():
                                          np.array(a_up), np.array(closure),
                                          B, L, L, merged=merged,
                                          n_chunks=n_chunks, split=split,
-                                         variant=variant)
+                                         variant=variant, chain=chain)
 
             def run():
                 return fwd(in_toks, out_toks, in_lens, out_lens)

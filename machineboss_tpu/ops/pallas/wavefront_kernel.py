@@ -202,6 +202,182 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         body(d_odd, ydiag_ref[0, 1], slabB, mB, slabA, mA)
 
 
+def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
+                    rescale_every, sink, n_chain, sigma,
+                    # refs:
+                    m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
+                    c0_ref, w_ref, tok_ref, icell_ref,
+                    res_ref,
+                    slabA, slabB, mA, mB, floc, kidx):
+    """Sequence-CHAINED merged kernel: near-full lane occupancy.
+
+    A square lattice's anti-diagonal ramps 1..Li+1..1, so the rectangular
+    (B, W) slab averages ~50% valid cells over the Li+Lo+1 steps. This
+    variant chains `n_chain` equal-length sequences per W-lane window,
+    staggered by sigma = Lo + 2 diagonals: chain k+1's wavefront grows
+    into exactly the lanes chain k's shrinking wavefront frees (lane i is
+    owned by chain k for absolute diagonals d in [sigma*k + i,
+    sigma*k + i + Lo]; the +2 margin keeps chain k+1's writes one full
+    diagonal clear of chain k's diag-neighbor reads). Amortized cost
+    drops from Li+Lo+2 to sigma steps per sequence (~2x for Li == Lo).
+
+    Per-lane bookkeeping is incremental int32 scratch: f = the lane's
+    chain-local output coordinate o (f in [0, Lo] while active, wraps to
+    0 at sigma starting the next chain), and kidx = the lane's current
+    chain index. Tokens change per lane over time, so per-diagonal x/y
+    token rows are streamed as int32 and one-hot masks are built
+    in-kernel by iota compare. Readout: chain k's final cells all land
+    on absolute diagonal sigma*k + Li + Lo, captured into res row k.
+
+    Requires uniform sequence lengths (Li, Lo) across the batch."""
+    s_id = pl.program_id(0)
+    cells = B * W
+    chunk = cells // n_chunks
+    i_cells = icell_ref[:]
+
+    def readout(p_ref):
+        if sink:
+            return jnp.sum(p_ref[:] * w_ref[:], axis=0, keepdims=True)
+        return p_ref[S - 1:S, :]
+
+    def init():
+        valid0 = i_cells == 0
+        init_mask = valid0.astype(jnp.float32)
+        row0 = c0_ref[:]                         # (S, 1) closure^T col 0
+        slabB[:] = row0 * init_mask
+        mB[:] = jnp.where(valid0, 0.0, NEG_INF)
+        slabA[:] = jnp.zeros_like(slabA)
+        mA[:] = jnp.full_like(mA, NEG_INF)
+        floc[:] = -i_cells                       # f of diagonal 0, chain 0
+        kidx[:] = jnp.zeros_like(kidx)
+        res_ref[:] = jnp.full_like(res_ref, NEG_INF)
+
+    def body(d, xtok, ytok, p1_ref, m1_ref, p2_ref, m2_ref):
+        # advance per-lane chain-local coordinate: f = o of this lane's
+        # cell on the current diagonal (its i is the lane index)
+        f_new = floc[:] + 1
+        wrapped = f_new == sigma
+        f_new = jnp.where(wrapped, 0, f_new)
+        k_new = kidx[:] + wrapped.astype(jnp.int32)
+        floc[:] = f_new
+        kidx[:] = k_new
+        real = k_new < n_chain
+        valid = (f_new >= 0) & (f_new <= Lo) & (i_cells <= Li) & real
+        init_now = (f_new == 0) & (i_cells == 0) & real
+        boundary = i_cells > 0
+        xtok_f = xtok.astype(jnp.float32)
+        ytok_f = ytok.astype(jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+
+        def rollc(x):
+            return pltpu.roll(x, 1, 1)
+
+        def mm(mat_ref, lo_ref, x):
+            if not split:
+                return jax.lax.dot_general(
+                    mat_ref[:], x, dn, precision=precision,
+                    preferred_element_type=jnp.float32)
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xlo = x - xhi
+            dd = jax.lax.dot_general
+            return (dd(mat_ref[:], xhi, dn,
+                       preferred_element_type=jnp.float32)
+                    + dd(mat_ref[:], xlo, dn,
+                         preferred_element_type=jnp.float32)
+                    + dd(lo_ref[:], xhi, dn,
+                         preferred_element_type=jnp.float32))
+
+        mu_parts = []
+        for c in range(n_chunks):
+            lo_c, hi_c = c * chunk, (c + 1) * chunk
+            bnd = boundary[:, lo_c:hi_c]
+            m1c = m1_ref[:, lo_c:hi_c]
+            m2c = m2_ref[:, lo_c:hi_c]
+            m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+            m2s = jnp.where(bnd, rollc(m2c), NEG_INF)
+            mu_c = jnp.maximum(jnp.maximum(m1c, m1s), m2s)
+            mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
+            w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+            w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+            w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+            mu_parts.append(mu_c)
+
+            p1c = p1_ref[:, lo_c:hi_c]
+            p1s = jnp.where(bnd, rollc(p1c), 0.0)
+            p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+
+            # in-kernel one-hot masks from the streamed token rows
+            # (f32 compare: Mosaic rejects i32 sublane broadcasts of a
+            # sliced row — "Invalid input layout" on vector.broadcast)
+            xm = xtok_f[:, lo_c:hi_c] == jax.lax.broadcasted_iota(
+                jnp.int32, (Ti, chunk), 0).astype(jnp.float32)
+            ym = ytok_f[:, lo_c:hi_c] == jax.lax.broadcasted_iota(
+                jnp.int32, (To, chunk), 0).astype(jnp.float32)
+
+            xw_diag = jnp.where(xm, w_diag, 0.0)
+            xw_left = jnp.where(xm, w_left, 0.0)
+            z_parts = [p1c * w_up] + [p2s * xw_diag[t:t + 1, :]
+                                      for t in range(Ti)]
+            z = jnp.concatenate(z_parts, axis=0)        # (S + Ti*S, chunk)
+            out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+
+            l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
+            lz = jnp.concatenate(l_parts, axis=0)       # (Ti*S, chunk)
+            cur = mm(m_left_ref, m_left_lo_ref, lz)
+
+            for t in range(To):
+                cur += jnp.where(ym[t:t + 1, :],
+                                 out_ud[t * S:(t + 1) * S, :], 0.0)
+            # fresh chain start: cell (0,0) = closure column 0, scale 0
+            cur = jnp.where(init_now[:, lo_c:hi_c], c0_ref[:], cur)
+            p2_ref[:, lo_c:hi_c] = cur
+        mu = jnp.concatenate(mu_parts, axis=1)
+        mu = jnp.where(init_now, 0.0, mu)
+
+        m_new = jnp.where(valid, mu, NEG_INF)
+        m2_ref[:] = m_new
+
+        @pl.when(d % rescale_every == 0)
+        def _rescale():
+            curv = p2_ref[:]
+            mx = jnp.max(curv, axis=0, keepdims=True)
+            has = (mx > 0) & valid
+            p2_ref[:] = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
+            m2_ref[:] = jnp.where(has,
+                                  m_new + jnp.log(jnp.maximum(mx, 1e-37)),
+                                  NEG_INF)
+
+        # chain k's readout cells all sit on one known absolute diagonal
+        fin_lane = (i_cells == Li) & (f_new == Lo)
+        endp = readout(p2_ref)
+        val = jnp.where(endp > 0,
+                        m2_ref[:] + jnp.log(jnp.maximum(endp, 1e-37)),
+                        jnp.full_like(m_new, NEG_INF))
+        for k in range(n_chain):
+            @pl.when(d == sigma * k + Li + Lo)
+            def _cap(k=k):
+                res_ref[k:k + 1, :] = jnp.where(fin_lane, val,
+                                                res_ref[k:k + 1, :])
+
+    d_even = 2 * s_id
+    d_odd = d_even + 1
+    n_abs = sigma * (n_chain - 1) + Li + Lo + 1
+
+    @pl.when(s_id == 0)
+    def _first():
+        init()
+
+    @pl.when(s_id > 0)
+    def _even_step():
+        tk = tok_ref[0, 0]
+        body(d_even, tk[0:1, :], tk[1:2, :], slabA, mA, slabB, mB)
+
+    @pl.when(d_odd <= n_abs - 1)
+    def _odd_step():
+        tk = tok_ref[0, 1]
+        body(d_odd, tk[0:1, :], tk[1:2, :], slabB, mB, slabA, mA)
+
+
 def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
                      # refs:
                      m_ud_hi_ref, m_left_hi_ref, m_ud_lo_ref, m_left_lo_ref,
@@ -495,13 +671,25 @@ def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
                            n_chunks=None, interpret=False, split=True,
-                           merged=False, rescale_every=4, variant=None):
+                           merged=False, rescale_every=4, variant=None,
+                           chain=None):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
     Returns fn(in_toks (B,Li), out_toks (B,Lo), in_lens (B,), out_lens (B,))
-    -> (B,) log-likelihoods."""
+    -> (B,) log-likelihoods.
+
+    variant="chained" (with `chain` = sequences per lane window, B must be
+    a multiple) packs `chain` staggered sequences into each W-lane window
+    for ~2x lane occupancy; it requires UNIFORM lengths (in_lens == Li,
+    out_lens == Lo for every sequence; the length args are ignored)."""
     import math as _math
     Ti, To, S, _ = a_diag.shape
+    n_chain = 1
+    if variant == "chained":
+        n_chain = chain or 4
+        assert B % n_chain == 0, "chained: B must be a multiple of chain"
+        assert Li >= 1 and Lo >= 1, "chained: needs non-empty sequences"
+        B_total, B = B, B // n_chain        # B below = windows per slab
     # W need only be a multiple of 16 (sublane granularity of one slab row
     # per b); chunk boundaries must align BOTH to sequence boundaries (W)
     # and to lanes (128), i.e. chunks are multiples of lcm(W, 128)
@@ -591,7 +779,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             (in_lens + out_lens).astype(jnp.int32))
         return xoh_t, ydiag, dfin_cells, cell_ids
 
-    if merged or variant == "seqscale":
+    if merged or variant in ("seqscale", "chained"):
         # closure folded into every neighbor matrix (cur = C@u distributes
         # over the per-token output blocks); up and diag share one wide dot
         closure64 = np.asarray(closure_p, np.float64)
@@ -716,6 +904,74 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                 m_ud_hi, m_left_hi = m_ud, m_left
             c0 = np.ascontiguousarray(closure_t[:Sa, 0:1]) \
                 .astype(np.float32)
+
+        if variant == "chained":
+            sigma = Lo + 2
+            n_abs = sigma * (n_chain - 1) + Li + Lo + 1
+            n_steps_ch = (n_abs + 1) // 2
+            kernel_ch = functools.partial(
+                _chained_kernel, Ti, To, S_k, B, W, Li, Lo, n_chunks,
+                precision, split, rescale_every, sink, n_chain, sigma)
+            call_ch = pl.pallas_call(
+                kernel_ch,
+                grid=(n_steps_ch,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+                    pl.BlockSpec((1, 2, 2, cells), lambda s: (s, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),   # token stream
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # icell
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_chain, cells),
+                                               jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((S_k, cells), jnp.float32),
+                    pltpu.VMEM((S_k, cells), jnp.float32),
+                    pltpu.VMEM((1, cells), jnp.float32),
+                    pltpu.VMEM((1, cells), jnp.float32),
+                    pltpu.VMEM((1, cells), jnp.int32),       # floc
+                    pltpu.VMEM((1, cells), jnp.int32),       # kidx
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )
+
+            @jax.jit
+            def forward_chained(in_toks, out_toks, in_lens, out_lens):
+                # lengths assumed uniform == (Li, Lo); see docstring
+                del in_lens, out_lens
+                in3 = in_toks.reshape(n_chain, B, Li).astype(jnp.int32)
+                out3 = out_toks.reshape(n_chain, B, Lo).astype(jnp.int32)
+                T_pad = 2 * n_steps_ch
+                t_idx = jnp.arange(T_pad)[:, None]
+                i_idx = jnp.arange(W)[None, :]
+                tmi = t_idx - i_idx                              # (T, W)
+                k_arr = jnp.floor_divide(tmi, sigma)
+                f_arr = tmi - sigma * k_arr
+                kc = jnp.clip(k_arr, 0, n_chain - 1)
+                okk = (k_arr >= 0) & (k_arr < n_chain)
+                ic = jnp.broadcast_to(jnp.clip(i_idx - 1, 0, Li - 1),
+                                      (T_pad, W))
+                xg = in3[kc, :, ic]                              # (T, W, B)
+                x_ok = okk & (i_idx >= 1) & (i_idx <= Li)
+                xtok = jnp.where(x_ok[:, :, None], xg, -1)
+                oc = jnp.clip(f_arr - 1, 0, Lo - 1)
+                yg = out3[kc, :, oc]
+                y_ok = okk & (f_arr >= 1) & (f_arr <= Lo)
+                ytok = jnp.where(y_ok[:, :, None], yg, -1)
+                # (T, W, B) -> (T, B, W) -> (n_steps, even/odd, x/y, cells)
+                xs = jnp.transpose(xtok, (0, 2, 1)).reshape(T_pad, cells)
+                ys = jnp.transpose(ytok, (0, 2, 1)).reshape(T_pad, cells)
+                tok = jnp.stack([xs, ys], axis=1) \
+                    .reshape(n_steps_ch, 2, 2, cells)
+                res = call_ch(jnp.array(m_ud_hi), jnp.array(m_left_hi),
+                              jnp.array(m_ud_lo), jnp.array(m_left_lo),
+                              jnp.array(c0), jnp.array(w_vec), tok,
+                              jnp.array(i_cell))
+                lanes = jnp.arange(B) * W + Li
+                return res[:, lanes].reshape(B_total)
+
+            return forward_chained
 
         kernel = functools.partial(_merged_kernel, Ti, To, S_k, B, W, Li,
                                    Lo, n_chunks, precision, split,

@@ -62,3 +62,35 @@ def test_pallas_wavefront_interpret():
                 else:
                     assert abs(dev[n] - hosts[n]) < TOL, \
                         (merged, split, n, hosts[n], dev[n])
+
+
+def test_pallas_wavefront_chained_interpret():
+    """Chained (sequence-packed) variant vs host oracle, uniform lengths."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import build_random_transducer
+    alphabet = list("ACGT")
+    m = build_random_transducer(6, alphabet, seed=7)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    ad, al, au, cl = lm.matrices_2d()
+    for chain, nw, L in ((3, 4, 6), (1, 6, 5), (5, 1, 7)):
+        B = chain * nw
+        rng = np.random.RandomState(chain)
+        it = rng.randint(0, 4, (B, L)).astype(np.int32)
+        ot = rng.randint(0, 4, (B, L)).astype(np.int32)
+        hosts = []
+        for n in range(B):
+            sp = SeqPair(NamedSeq("i", [alphabet[t] for t in it[n]]),
+                         NamedSeq("o", [alphabet[t] for t in ot[n]]))
+            hosts.append(ForwardMatrix(ev, sp).log_like())
+        il = np.full(B, L, np.int32)
+        ol = np.full(B, L, np.int32)
+        for split in (False, True):
+            fwd = make_wavefront_forward(ad, al, au, cl, B, L, L,
+                                         interpret=True, split=split,
+                                         variant="chained", chain=chain)
+            dev = np.array(fwd(jnp.array(it), jnp.array(ot),
+                               jnp.array(il), jnp.array(ol)))
+            err = np.abs(dev - np.array(hosts)).max()
+            assert err < TOL, (chain, split, err)

@@ -1,14 +1,24 @@
 #!/usr/bin/env python3
 """Benchmark: Forward DP state-cell throughput per chip.
 
-Workload mirrors the reference benchmark grid's largest 2D config
-(ref: benchmarks/run_benchmarks.py:699-740): random dense DNA transducer,
-S=64, 200x200 sequence pairs, Forward algorithm — run batched on one TPU
-chip through the wavefront engine.
+Workloads (BENCH_WORKLOAD):
+  dense    (default) — mirrors the reference benchmark grid's largest 2D
+           config (ref benchmarks/run_benchmarks.py:699-740): random dense
+           DNA transducer, S=64, 200x200 pairs, batched on one chip.
+  prot2dna — the flagship BASELINE.json metric workload: the GeneWise-style
+           prot2dna preset (S=132, 20 aa inputs x 4 nt outputs) scoring
+           protein/DNA pairs (ref Makefile:228-232 preset build;
+           BASELINE.md "DP cells/s/chip (Forward, prot2dna composed)").
 
-Baseline anchor: the reference's compiled-C++ single-core throughput on the
-same config, 201*201*64 cells / 0.0134 s = 193e6 state-cells/s
-(BASELINE.md). Target: >= 50x per chip.
+Every run gates accuracy: a subsample of the batch is re-scored by the
+float64 host oracle (ops/host_oracle.py) and the device kernel must agree
+within 0.01 nats (the reference's own cross-backend tolerance,
+ref python/machineboss/jax/API.md:396-421) — a numerical regression fails
+the bench loudly instead of silently reporting fast wrong numbers.
+
+Baseline anchor: the reference's compiled-C++ single-core throughput,
+201*201*64 cells / 0.0134 s = 193e6 state-cells/s (BASELINE.md).
+Target: >= 50x per chip.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,6 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_CELLS_PER_S = 193e6  # compiled C++, single core, S=64 200x200
+
+# standard genetic code (for sampling plausible DNA against prot2dna)
+CODONS = {
+    "A": "GCT", "C": "TGT", "D": "GAT", "E": "GAA", "F": "TTT",
+    "G": "GGT", "H": "CAT", "I": "ATT", "K": "AAA", "L": "CTG",
+    "M": "ATG", "N": "AAT", "P": "CCG", "Q": "CAA", "R": "CGT",
+    "S": "TCT", "T": "ACT", "V": "GTG", "W": "TGG", "Y": "TAT",
+}
 
 
 def build_random_transducer(n_states, alphabet, seed=42):
@@ -47,6 +65,88 @@ def build_random_transducer(n_states, alphabet, seed=42):
     return Machine.from_json({"state": states})
 
 
+def dense_workload(S, L, B):
+    """(lowered tensors, token batch, Li, Lo) for the dense DNA config."""
+    import jax.numpy as jnp
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.lowering import LoweredMachine
+
+    alphabet = list("ACGT")
+    machine = build_random_transducer(S, alphabet)
+    ev = EvaluatedMachine(machine, machine.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    tensors = tuple(np.asarray(x) for x in lm.matrices_2d())
+
+    rng = np.random.RandomState(0)
+    in_toks = rng.randint(0, len(alphabet), (B, L)).astype(np.int32)
+    out_toks = rng.randint(0, len(alphabet), (B, L)).astype(np.int32)
+    return tensors, (jnp.array(in_toks), jnp.array(out_toks),
+                     jnp.full((B,), L, jnp.int32),
+                     jnp.full((B,), L, jnp.int32)), L, L
+
+
+def prot2dna_workload(Lp, B, mutate=0.0):
+    """prot2dna preset scoring random proteins against codon-translated DNA.
+
+    mutate > 0 substitutes bases at that rate — prot2dna models sequencing
+    INDEL errors, not substitutions, so mutated pairs may be impossible
+    (-inf); the default keeps every pair scoreable."""
+    import jax.numpy as jnp
+    from machineboss_tpu.core.presets import make_preset
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.lowering import LoweredMachine
+
+    m = make_preset("prot2dna")
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    tensors = tuple(np.asarray(x) for x in lm.matrices_2d())
+
+    aas = sorted(CODONS)
+    in_tok = {a: ev.input_tokenizer.sym2tok[a] - 1 for a in aas}
+    out_tok = {c: ev.output_tokenizer.sym2tok[c] - 1 for c in "ACGT"}
+    rng = np.random.RandomState(0)
+    Lo = 3 * Lp
+    it = np.zeros((B, Lp), np.int32)
+    ot = np.zeros((B, Lo), np.int32)
+    for b in range(B):
+        prot = [aas[i] for i in rng.randint(0, len(aas), Lp)]
+        dna = list("".join(CODONS[a] for a in prot))
+        muts = rng.random_sample(Lo) < mutate
+        for i in np.where(muts)[0]:
+            dna[i] = "ACGT"[rng.randint(0, 4)]
+        it[b] = [in_tok[a] for a in prot]
+        ot[b] = [out_tok[c] for c in dna]
+    return tensors, (jnp.array(it), jnp.array(ot),
+                     jnp.full((B,), Lp, jnp.int32),
+                     jnp.full((B,), Lo, jnp.int32)), Lp, Lo
+
+
+def accuracy_gate(tensors, batch, lls, n_check, tol=0.01):
+    """Device log-likelihoods must match the float64 host oracle."""
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+    a_diag, a_left, a_up, closure = (np.asarray(t, np.float64)
+                                     for t in tensors)
+    it, ot, il, ol = (np.asarray(x) for x in batch)
+    errs = []
+    for b in range(min(n_check, len(lls))):
+        ref = forward_2d_f64(a_diag, a_left, a_up, closure,
+                             it[b][:il[b]], ot[b][:ol[b]])
+        dev = float(lls[b])
+        if ref <= -1e29 or dev <= -1e29:
+            # impossible pair: both sides must agree it is impossible
+            errs.append(0.0 if (ref <= -1e29 and dev <= -1e29)
+                        else float("inf"))
+        else:
+            errs.append(abs(dev - ref))
+    max_err = max(errs)
+    sys.stderr.write("accuracy gate: max |device - f64 oracle| = %.2e nats "
+                     "over %d pairs (tol %.2g)\n"
+                     % (max_err, len(errs), tol))
+    if not np.isfinite(max_err) or max_err > tol:
+        raise SystemExit("ACCURACY GATE FAILED: %.3e nats > %.2g"
+                         % (max_err, tol))
+
+
 def main():
     import jax
     # persistent compilation cache: the pallas kernel's first compile is
@@ -61,42 +161,43 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from machineboss_tpu.core.eval import EvaluatedMachine
-    from machineboss_tpu.ops.lowering import LoweredMachine
-    from machineboss_tpu.ops.semiring import LOGSUMEXP
 
+    workload = os.environ.get("BENCH_WORKLOAD", "dense")
     S = int(os.environ.get("BENCH_S", "64"))
     L = int(os.environ.get("BENCH_L", "200"))
     B = int(os.environ.get("BENCH_B", "512"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    alphabet = list("ACGT")
+    n_check = int(os.environ.get("BENCH_CHECK", "2"))
 
-    machine = build_random_transducer(S, alphabet)
-    ev = EvaluatedMachine(machine, machine.get_param_defs(True))
-    lm = LoweredMachine(ev, dtype=np.float32)
-    a_diag, a_left, a_up, closure = (jnp.array(x) for x in lm.matrices_2d())
+    if workload == "prot2dna":
+        Lp = int(os.environ.get("BENCH_LP", "64"))
+        B = int(os.environ.get("BENCH_B", "256"))
+        tensors, batch, Li, Lo = prot2dna_workload(Lp, B)
+        S_real = tensors[3].shape[0]
+        metric = "forward_dp_state_cells_per_s_per_chip_prot2dna"
+    else:
+        tensors, batch, Li, Lo = dense_workload(S, L, B)
+        S_real = tensors[3].shape[0]
+        metric = "forward_dp_state_cells_per_s_per_chip"
 
-    rng = np.random.RandomState(0)
-    in_toks = jnp.array(rng.randint(0, len(alphabet), (B, L)), jnp.int32)
-    out_toks = jnp.array(rng.randint(0, len(alphabet), (B, L)), jnp.int32)
-    in_lens = jnp.full((B,), L, jnp.int32)
-    out_lens = jnp.full((B,), L, jnp.int32)
+    a_diag, a_left, a_up, closure = tensors
+    in_toks, out_toks, in_lens, out_lens = batch
 
     engine = os.environ.get("BENCH_ENGINE", "pallas")
     merged = os.environ.get("BENCH_MERGED", "1") == "1"
     n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
     variant = os.environ.get("BENCH_VARIANT") or None
+    if workload == "prot2dna" and "BENCH_VARIANT" not in os.environ:
+        variant = "factored"
     chain = int(os.environ.get("BENCH_CHAIN", "8"))
     run = None
     if engine == "pallas":
         try:
             from machineboss_tpu.ops.pallas.wavefront_kernel import \
                 make_wavefront_forward
-            fwd = make_wavefront_forward(np.array(a_diag),
-                                         np.array(a_left),
-                                         np.array(a_up), np.array(closure),
-                                         B, L, L, merged=merged,
+            fwd = make_wavefront_forward(a_diag, a_left, a_up, closure,
+                                         B, Li, Lo, merged=merged,
                                          n_chunks=n_chunks, split=split,
                                          variant=variant, chain=chain)
 
@@ -105,24 +206,27 @@ def main():
 
             run().block_until_ready()
         except Exception as e:  # pragma: no cover - fallback path
-            import sys
             sys.stderr.write("pallas engine unavailable (%s); falling back"
                              " to jnp wavefront\n" % e)
             run = None
     if run is None:
         from machineboss_tpu.ops.wavefront_fast import \
             forward_2d_wavefront_fast
+        td = (jnp.array(a_diag), jnp.array(a_left), jnp.array(a_up),
+              jnp.array(closure))
 
         def run():
-            return forward_2d_wavefront_fast(a_diag, a_left, a_up, closure,
-                                             in_toks, out_toks, in_lens,
-                                             out_lens)
+            return forward_2d_wavefront_fast(*td, in_toks, out_toks,
+                                             in_lens, out_lens)
 
     # warmup/compile
     out = run()
     out.block_until_ready()
     lls = np.array(out)
     assert np.all(np.isfinite(lls)), "non-finite benchmark log-likelihoods"
+    assert np.all(lls > -1e29), "impossible pairs in benchmark batch"
+    if n_check:
+        accuracy_gate(tensors, batch, lls, n_check)
 
     times = []
     from machineboss_tpu.utils.profiling import trace_if
@@ -133,11 +237,11 @@ def main():
             times.append(time.perf_counter() - t0)
     t = min(times)
 
-    # state-cells: the reference counts (L+1)^2 * S per pair
-    cells = B * (L + 1) * (L + 1) * (S + 1)
+    # state-cells: the reference counts (Li+1)(Lo+1) * S per pair
+    cells = B * (Li + 1) * (Lo + 1) * S_real
     cells_per_s = cells / t
     result = {
-        "metric": "forward_dp_state_cells_per_s_per_chip",
+        "metric": metric,
         "value": round(cells_per_s, 1),
         "unit": "cells/s",
         "vs_baseline": round(cells_per_s / BASELINE_CELLS_PER_S, 3),

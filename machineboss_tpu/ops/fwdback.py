@@ -77,10 +77,14 @@ class CountModel:
 
     # -- batched log-likelihood (the E-step objective) ---------------------
 
-    def batch_loglike(self, logw, in_toks, out_toks, in_lens, out_lens):
+    def batch_loglike(self, logw, in_toks, out_toks, in_lens, out_lens,
+                      weights=None):
         """Sum of log-likelihoods over a padded batch.
 
-        in_toks: (B, Li) 0-based padded tokens; lens give true lengths."""
+        in_toks: (B, Li) 0-based padded tokens; lens give true lengths.
+        weights: optional (B,) per-pair multipliers on the objective —
+        weight 0 removes a (padding) pair from both the total and, through
+        the gradient, the expected counts."""
         a_diag, a_left, a_up, closure = self.build_tensors(logw)
 
         def one(it, ot, il, ol):
@@ -90,16 +94,19 @@ class CountModel:
         lls = jax.vmap(one)(in_toks, out_toks, in_lens, out_lens)
         # exclude impossible pairs from the sum the same way the reference
         # would fail them; caller can inspect per-seq lls
-        return jnp.sum(jnp.where(lls > NEG_INF / 2, lls, 0.0)), lls
+        valid = lls > NEG_INF / 2
+        w = jnp.ones_like(lls) if weights is None else weights
+        return jnp.sum(jnp.where(valid, lls, 0.0) * w), lls
 
     def counts_and_loglike(self, in_toks, out_toks, in_lens, out_lens,
-                           logw=None):
+                           logw=None, weights=None):
         """Expected per-transition counts + total loglike for a batch."""
         logw = self.logw if logw is None else logw
 
         def objective(w):
             total, lls = self.batch_loglike(w, in_toks, out_toks,
-                                            in_lens, out_lens)
+                                            in_lens, out_lens,
+                                            weights=weights)
             return total, lls
 
         (total, lls), grads = jax.value_and_grad(

@@ -287,6 +287,16 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                     + dd(lo_ref[:], xhi, dn,
                          preferred_element_type=jnp.float32))
 
+        # in-kernel one-hot masks from the streamed token rows, built over
+        # the FULL row before chunking: Mosaic rejects sublane broadcasts
+        # of lane-offset slices ("Invalid input layout" on
+        # vector.broadcast), so the (1, cells) -> (T, cells) broadcasts
+        # must happen at lane offset 0 and be sliced afterwards
+        xm_full = xtok_f == jax.lax.broadcasted_iota(
+            jnp.int32, (Ti, cells), 0).astype(jnp.float32)
+        ym_full = ytok_f == jax.lax.broadcasted_iota(
+            jnp.int32, (To, cells), 0).astype(jnp.float32)
+
         mu_parts = []
         for c in range(n_chunks):
             lo_c, hi_c = c * chunk, (c + 1) * chunk
@@ -306,13 +316,8 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             p1s = jnp.where(bnd, rollc(p1c), 0.0)
             p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
 
-            # in-kernel one-hot masks from the streamed token rows
-            # (f32 compare: Mosaic rejects i32 sublane broadcasts of a
-            # sliced row — "Invalid input layout" on vector.broadcast)
-            xm = xtok_f[:, lo_c:hi_c] == jax.lax.broadcasted_iota(
-                jnp.int32, (Ti, chunk), 0).astype(jnp.float32)
-            ym = ytok_f[:, lo_c:hi_c] == jax.lax.broadcasted_iota(
-                jnp.int32, (To, chunk), 0).astype(jnp.float32)
+            xm = xm_full[:, lo_c:hi_c]
+            ym = ym_full[:, lo_c:hi_c]
 
             xw_diag = jnp.where(xm, w_diag, 0.0)
             xw_left = jnp.where(xm, w_left, 0.0)
@@ -537,6 +542,197 @@ def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
     @pl.when(d_odd <= n_diags - 1)
     def _odd_step():
         body(d_odd, ydiag_ref[0, 1], p1hi, p1lo, p2hi, p2lo)
+
+
+def _factored_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
+                     rescale_every, sink, r_up, r_left, r_diag,
+                     *args):
+    """Destination-factored merged kernel (see pallas/factorize.py).
+
+    Each neighbor class's token-conditioned tensor is decomposed as
+    A[t, s, s'] = sum_r T_r[s, s'] * E_r[t, s'], so a cell's contribution
+    is sum_r (T_r^T p) * (E_r^T onehot) — R shared full-depth matmuls plus
+    one tiny (R*S, n_tok) token matmul per class, instead of n_tok
+    redundant one-hot-masked blocks. For profile-structured machines
+    (prot2dna: R = 1 left / 4 up / 0 diag) this cuts per-cell MXU work
+    ~17x vs the generic merged layout; for full-rank random machines it
+    matches it. Closure is applied as its own matmul per cell (the
+    elementwise token scale prevents folding it into the factors).
+
+    Scale/rescale/readout bookkeeping is identical to _merged_kernel."""
+    # unpack refs by the statically known class presence
+    it = iter(args)
+    mt_u = e_u = mt_l = e_l = mt_d = e_d = None
+    if r_up:
+        mt_u = (next(it), next(it))
+        e_u = (next(it), next(it))
+    if r_left:
+        mt_l = (next(it), next(it))
+        e_l = (next(it), next(it))
+    if r_diag:
+        mt_d = (next(it), next(it))
+        e_d = (next(it), next(it))
+    cl_hi, cl_lo = next(it), next(it)
+    c0_ref, w_ref = next(it), next(it)
+    xoh_ref, ydiag_ref, icell_ref, dfin_ref = (next(it), next(it),
+                                               next(it), next(it))
+    res_ref = next(it)
+    slabA, slabB, mA, mB = next(it), next(it), next(it), next(it)
+
+    s_id = pl.program_id(0)
+    cells = B * W
+    chunk = cells // n_chunks
+    i_cells = icell_ref[:]
+
+    def readout(p_ref):
+        if sink:
+            return jnp.sum(p_ref[:] * w_ref[:], axis=0, keepdims=True)
+        return p_ref[S - 1:S, :]
+
+    def init():
+        valid0 = i_cells == 0
+        init_mask = valid0.astype(jnp.float32)
+        row0 = c0_ref[:]                         # (S, 1) closure^T col 0
+        slabB[:] = row0 * init_mask
+        mB[:] = jnp.where(valid0, 0.0, NEG_INF)
+        slabA[:] = jnp.zeros_like(slabA)
+        mA[:] = jnp.full_like(mA, NEG_INF)
+        endp = readout(slabB)
+        val0 = jnp.where(endp > 0,
+                         jnp.log(jnp.maximum(endp, 1e-37)),
+                         jnp.full_like(mB, NEG_INF))
+        res_ref[:] = jnp.where((dfin_ref[:] == 0) & valid0, val0,
+                               jnp.full_like(mB, NEG_INF))
+
+    def body(d, yoh, p1_ref, m1_ref, p2_ref, m2_ref):
+        valid = (i_cells <= d) & (i_cells >= d - Lo) & (i_cells <= Li)
+        boundary = i_cells > 0
+        dn = (((1,), (0,)), ((), ()))
+
+        def rollc(x):
+            return pltpu.roll(x, 1, 1)
+
+        def mm3(mats, x):
+            hi_ref, lo_ref = mats
+            if not split:
+                return jax.lax.dot_general(
+                    hi_ref[:], x, dn, precision=precision,
+                    preferred_element_type=jnp.float32)
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xlo = x - xhi
+            dd = jax.lax.dot_general
+            return (dd(hi_ref[:], xhi, dn,
+                       preferred_element_type=jnp.float32)
+                    + dd(hi_ref[:], xlo, dn,
+                         preferred_element_type=jnp.float32)
+                    + dd(lo_ref[:], xhi, dn,
+                         preferred_element_type=jnp.float32))
+
+        def mm2(mats, oh):
+            # one-hot operands are bf16-exact; only the matrix is split
+            hi_ref, lo_ref = mats
+            dd = jax.lax.dot_general
+            if not split:
+                return dd(hi_ref[:], oh, dn, precision=precision,
+                          preferred_element_type=jnp.float32)
+            return (dd(hi_ref[:], oh, dn,
+                       preferred_element_type=jnp.float32)
+                    + dd(lo_ref[:], oh, dn,
+                         preferred_element_type=jnp.float32))
+
+        def rank_sum(out, scale, r):
+            acc = out[0:S, :] * scale[0:S, :]
+            for k in range(1, r):
+                acc += out[k * S:(k + 1) * S, :] * scale[k * S:(k + 1) * S, :]
+            return acc
+
+        mu_parts = []
+        for c in range(n_chunks):
+            lo_c, hi_c = c * chunk, (c + 1) * chunk
+            bnd = boundary[:, lo_c:hi_c]
+            m1c = m1_ref[:, lo_c:hi_c]
+            m2c = m2_ref[:, lo_c:hi_c]
+            cands = []
+            m1s = m2s = None
+            if r_up:
+                cands.append(m1c)
+            if r_left:
+                m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+                cands.append(m1s)
+            if r_diag:
+                m2s = jnp.where(bnd, rollc(m2c), NEG_INF)
+                cands.append(m2s)
+            mu_c = cands[0]
+            for extra in cands[1:]:
+                mu_c = jnp.maximum(mu_c, extra)
+            mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
+            mu_parts.append(mu_c)
+
+            xoh_c = xoh_ref[:, lo_c:hi_c]
+            yoh_c = yoh[:, lo_c:hi_c]
+
+            pre = None
+            if r_up:
+                w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+                pu = p1_ref[:, lo_c:hi_c] * w_up
+                out_u = mm3(mt_u, pu)                 # (r_up*S, chunk)
+                eu = mm2(e_u, yoh_c)                  # (r_up*S, chunk)
+                pre = rank_sum(out_u, eu, r_up)
+            if r_left:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1_ref[:, lo_c:hi_c]), 0.0)
+                out_l = mm3(mt_l, p1s * w_left)
+                el = mm2(e_l, xoh_c)
+                term = rank_sum(out_l, el, r_left)
+                pre = term if pre is None else pre + term
+            if r_diag:
+                w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+                p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+                pair_rows = [xoh_c[t:t + 1, :] * yoh_c for t in range(Ti)]
+                pairoh = jnp.concatenate(pair_rows, axis=0)  # (Ti*To, chunk)
+                out_d = mm3(mt_d, p2s * w_diag)
+                ed = mm2(e_d, pairoh)
+                term = rank_sum(out_d, ed, r_diag)
+                pre = term if pre is None else pre + term
+            cur = mm3((cl_hi, cl_lo), pre)
+            p2_ref[:, lo_c:hi_c] = cur
+        mu = jnp.concatenate(mu_parts, axis=1)
+
+        m_new = jnp.where(valid, mu, NEG_INF)
+        m2_ref[:] = m_new
+
+        @pl.when(d % rescale_every == 0)
+        def _rescale():
+            curv = p2_ref[:]
+            mx = jnp.max(curv, axis=0, keepdims=True)
+            has = (mx > 0) & valid
+            p2_ref[:] = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
+            m2_ref[:] = jnp.where(has,
+                                  m_new + jnp.log(jnp.maximum(mx, 1e-37)),
+                                  NEG_INF)
+
+        fin = (dfin_ref[:] == d) & valid
+        endp = readout(p2_ref)
+        val = jnp.where(endp > 0,
+                        m2_ref[:] + jnp.log(jnp.maximum(endp, 1e-37)),
+                        jnp.full_like(m_new, NEG_INF))
+        res_ref[:] = jnp.where(fin, val, res_ref[:])
+
+    d_even = 2 * s_id
+    d_odd = d_even + 1
+    n_diags = Li + Lo + 1
+
+    @pl.when(s_id == 0)
+    def _first():
+        init()
+
+    @pl.when(s_id > 0)
+    def _even_step():
+        body(d_even, ydiag_ref[0, 0], slabA, mA, slabB, mB)
+
+    @pl.when(d_odd <= n_diags - 1)
+    def _odd_step():
+        body(d_odd, ydiag_ref[0, 1], slabB, mB, slabA, mA)
 
 
 def _wavefront_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
@@ -778,6 +974,122 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         dfin_cells = dfin_cells.at[0, cell_ids].set(
             (in_lens + out_lens).astype(jnp.int32))
         return xoh_t, ydiag, dfin_cells, cell_ids
+
+    if variant == "factored":
+        from .factorize import factorize_token_tensor
+
+        def pz(a):
+            a64 = np.asarray(a, np.float64)
+            return np.where(a64 > -1e29, np.exp(np.minimum(a64, 700.0)), 0.0)
+
+        diag_z, left_z, up_z, clo_z = (pz(a_diag), pz(a_left), pz(a_up),
+                                       pz(closure))
+        # sink-state trim (same criterion and algebra as the merged kernel)
+        eye = np.eye(S)
+        is_sink = np.array([
+            float(diag_z[:, :, s, :].sum() + left_z[:, s, :].sum()
+                  + up_z[:, s, :].sum()) == 0.0
+            and float(np.abs(clo_z[s] - eye[s]).sum()) == 0.0
+            for s in range(S)])
+        n_trail = 0
+        while n_trail < S - 1 and is_sink[S - 1 - n_trail]:
+            n_trail += 1
+        readout_silent_in = (
+            float(diag_z[:, :, :, S - 1].sum() + left_z[:, :, S - 1].sum()
+                  + up_z[:, :, S - 1].sum()) == 0.0)
+        S_k, sink = S, False
+        w_vec = np.zeros((S, 1), np.float32)
+        if n_trail > 0 and readout_silent_in:
+            Sa = S - n_trail
+            S_k, sink = Sa, True
+            w_vec = np.linalg.solve(clo_z[:Sa, :Sa],
+                                    clo_z[:Sa, S - 1]).reshape(Sa, 1) \
+                .astype(np.float32)
+            diag_z = diag_z[:, :, :Sa, :Sa]
+            left_z = left_z[:, :Sa, :Sa]
+            up_z = up_z[:, :Sa, :Sa]
+            clo_z = clo_z[:Sa, :Sa]
+        Sa = S_k
+        ts_u, es_u, r_up = factorize_token_tensor(up_z)
+        ts_l, es_l, r_left = factorize_token_tensor(left_z)
+        ts_d, es_d, r_diag = factorize_token_tensor(
+            diag_z.reshape(Ti * To, Sa, Sa))
+
+        def dev_mt(ts, r):
+            # mt[(r, s'), s] = T_r[s, s'] so out = mt @ p stacks (T_r^T p)
+            return np.ascontiguousarray(
+                np.transpose(ts, (0, 2, 1)).reshape(r * Sa, Sa)) \
+                .astype(np.float32)
+
+        def dev_e(es, r, T):
+            # e[(r, s'), t] = E_r[t, s'] so e @ onehot gives the scales
+            return np.ascontiguousarray(
+                np.transpose(es, (0, 2, 1)).reshape(r * Sa, T)) \
+                .astype(np.float32)
+
+        clo_t = np.ascontiguousarray(clo_z.T).astype(np.float32)
+        c0f = np.ascontiguousarray(clo_t[:, 0:1]).astype(np.float32)
+        pieces = []
+
+        def add_mat(m):
+            hi, lo = hi_lo(m)
+            pieces.extend([m if not split else hi, lo])
+
+        if r_up:
+            add_mat(dev_mt(ts_u, r_up))
+            add_mat(dev_e(es_u, r_up, To))
+        if r_left:
+            add_mat(dev_mt(ts_l, r_left))
+            add_mat(dev_e(es_l, r_left, Ti))
+        if r_diag:
+            add_mat(dev_mt(ts_d, r_diag))
+            add_mat(dev_e(es_d, r_diag, Ti * To))
+        add_mat(clo_t)
+        n_mat_refs = len(pieces)
+
+        kernel_f = functools.partial(
+            _factored_kernel, Ti, To, Sa, B, W, Li, Lo, n_chunks, precision,
+            split, rescale_every, sink, r_up, r_left, r_diag)
+        n_steps_f = (Li + Lo) // 2 + 1
+        call_f = pl.pallas_call(
+            kernel_f,
+            grid=(n_steps_f,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] *
+            (n_mat_refs + 2) + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # xoh
+                pl.BlockSpec((1, 2, To, cells), lambda s: (s, 0, 0, 0),
+                             memory_space=pltpu.VMEM),       # ydiag
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # icell
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # dfin
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, cells), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((Sa, cells), jnp.float32),
+                pltpu.VMEM((Sa, cells), jnp.float32),
+                pltpu.VMEM((1, cells), jnp.float32),
+                pltpu.VMEM((1, cells), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+        mats_dev = ([jnp.array(m) for m in pieces]
+                    + [jnp.array(c0f), jnp.array(w_vec)])
+
+        @jax.jit
+        def forward_factored(in_toks, out_toks, in_lens, out_lens):
+            xoh_t, ydiag, dfin_cells, cell_ids = _prep(in_toks, out_toks,
+                                                       in_lens, out_lens)
+            pad_rows = 2 * n_steps_f - n_diags
+            ydiag2 = jnp.concatenate(
+                [ydiag, jnp.zeros((pad_rows, To, cells), jnp.float32)],
+                axis=0).reshape(n_steps_f, 2, To, cells)
+            res_cells = call_f(*mats_dev, xoh_t, ydiag2,
+                               jnp.array(i_cell), dfin_cells)
+            return res_cells[0, cell_ids]
+
+        return forward_factored
 
     if merged or variant in ("seqscale", "chained"):
         # closure folded into every neighbor matrix (cur = C@u distributes

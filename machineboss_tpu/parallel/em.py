@@ -26,16 +26,25 @@ def sharded_counts_fn(model: CountModel, mesh):
     (counts_vector, total_loglike), where batch arrays are sharded over
     'data' and the returned values are fully reduced (replicated)."""
 
-    def shard_fn(logw, it, ot, il, ol):
-        grads, total, _ = model.counts_and_loglike(it, ot, il, ol, logw=logw)
+    def shard_fn(logw, it, ot, il, ol, w):
+        grads, total, _ = model.counts_and_loglike(it, ot, il, ol, logw=logw,
+                                                   weights=w)
         return (jax.lax.psum(grads, "data"),
                 jax.lax.psum(total, "data"))
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"),
+                  P("data")),
         out_specs=(P(), P()), check_vma=False)
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def fn(logw, it, ot, il, ol, weights=None):
+        if weights is None:
+            weights = jnp.ones((it.shape[0],), logw.dtype)
+        return jitted(logw, it, ot, il, ol, weights)
+
+    return fn
 
 
 def device_counts(machine, all_params, training_set, envelopes=None,
@@ -51,25 +60,19 @@ def device_counts(machine, all_params, training_set, envelopes=None,
     if mesh is not None:
         n_shard = mesh.shape["data"]
         pad = (-len(seq_pairs)) % n_shard
+        weights = jnp.ones((len(seq_pairs) + pad,), dtype)
         if pad:
-            # zero-length pairs contribute LL over empty sequences; mask them
-            # by replicating the first pair with zero weight is incorrect, so
-            # instead pad and subtract: simplest correct scheme is padding
-            # with empty pairs and ignoring their counts is wrong too. Pad by
-            # repeating existing rows, then scale grads? Cleanest: require
-            # divisible batch here; round-robin split below.
+            # pad to a shardable batch by repeating leading rows with
+            # objective weight 0: the padding pairs run through the DP but
+            # contribute nothing to the loglike or (via the gradient) the
+            # counts — one jitted call, no host-side correction pass
             it = jnp.concatenate([it, it[:pad]], 0)
             ot = jnp.concatenate([ot, ot[:pad]], 0)
             il = jnp.concatenate([il, il[:pad]], 0)
             ol = jnp.concatenate([ol, ol[:pad]], 0)
+            weights = weights.at[-pad:].set(0.0)
         fn = sharded_counts_fn(model, mesh)
-        grads, total = fn(model.logw, it, ot, il, ol)
-        if pad:
-            # subtract the duplicated pairs' contribution, computed locally
-            g2, t2, _ = model.counts_and_loglike(it[-pad:], ot[-pad:],
-                                                 il[-pad:], ol[-pad:])
-            grads = grads - g2
-            total = total - t2
+        grads, total = fn(model.logw, it, ot, il, ol, weights)
     else:
         grads, total, _ = model.counts_and_loglike(it, ot, il, ol)
 

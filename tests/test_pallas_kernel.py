@@ -64,6 +64,94 @@ def test_pallas_wavefront_interpret():
                         (merged, split, n, hosts[n], dev[n])
 
 
+def test_pallas_wavefront_factored_interpret():
+    """Destination-factored variant: exact on full-rank random machines and
+    on structured (prot2dna, rank 1/4/0) machines, ragged lengths."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import build_random_transducer, CODONS
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+
+    # full-rank random transducer (factored == generic cost, must be exact)
+    alphabet = list("ACGT")
+    m = build_random_transducer(6, alphabet, seed=3)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    ad, al, au, cl = (np.asarray(x) for x in lm.matrices_2d())
+    B, L = 4, 7
+    rng = np.random.RandomState(5)
+    it = rng.randint(0, 4, (B, L)).astype(np.int32)
+    ot = rng.randint(0, 4, (B, L)).astype(np.int32)
+    il = np.full(B, L, np.int32)
+    ol = np.full(B, L, np.int32)
+    il[1], ol[1] = L - 2, L - 2
+    fwd = make_wavefront_forward(ad, al, au, cl, B, L, L,
+                                 interpret=True, variant="factored")
+    dev = np.array(fwd(jnp.array(it), jnp.array(ot), jnp.array(il),
+                       jnp.array(ol)))
+    f64 = (ad.astype(np.float64), al.astype(np.float64),
+           au.astype(np.float64), cl.astype(np.float64))
+    for n in range(B):
+        ref = forward_2d_f64(*f64, it[n][:il[n]], ot[n][:ol[n]])
+        if ref <= -1e29:
+            assert dev[n] < -1e20, n
+        else:
+            assert abs(dev[n] - ref) < TOL, (n, ref, dev[n])
+
+    # prot2dna (S=132, Ti=20, To=4; ranks 1 left / 4 up / 0 diag)
+    from machineboss_tpu.core.presets import make_preset
+    p = make_preset("prot2dna")
+    pev = EvaluatedMachine(p, p.get_param_defs(True))
+    plm = LoweredMachine(pev, dtype=np.float32)
+    pd, pl_, pu, pc = (np.asarray(x) for x in plm.matrices_2d())
+    aas = sorted(CODONS)
+    in_tok = {a: pev.input_tokenizer.sym2tok[a] - 1 for a in aas}
+    out_tok = {ch: pev.output_tokenizer.sym2tok[ch] - 1 for ch in "ACGT"}
+    B2, Lp = 3, 5
+    Lo2 = 3 * Lp
+    it2 = np.zeros((B2, Lp), np.int32)
+    ot2 = np.zeros((B2, Lo2), np.int32)
+    for b in range(B2):
+        prot = [aas[i] for i in rng.randint(0, len(aas), Lp)]
+        dna = "".join(CODONS[a] for a in prot)
+        it2[b] = [in_tok[a] for a in prot]
+        ot2[b] = [out_tok[ch] for ch in dna]
+    fwd2 = make_wavefront_forward(pd, pl_, pu, pc, B2, Lp, Lo2,
+                                  interpret=True, variant="factored")
+    dev2 = np.array(fwd2(jnp.array(it2), jnp.array(ot2),
+                         jnp.full(B2, Lp, np.int32),
+                         jnp.full(B2, Lo2, np.int32)))
+    p64 = (pd.astype(np.float64), pl_.astype(np.float64),
+           pu.astype(np.float64), pc.astype(np.float64))
+    for n in range(B2):
+        ref = forward_2d_f64(*p64, it2[n], ot2[n])
+        assert abs(dev2[n] - ref) < TOL, (n, ref, dev2[n])
+
+
+def test_host_oracle_matches_dp_host():
+    """The f64 oracle (bench accuracy gate) equals the table-lse host DP
+    within table precision on a random transducer."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import build_random_transducer
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+    alphabet = list("ACGT")
+    m = build_random_transducer(8, alphabet, seed=11)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float64)
+    ad, al, au, cl = (np.asarray(x) for x in lm.matrices_2d())
+    rng = np.random.RandomState(2)
+    for _ in range(3):
+        L = rng.randint(3, 10)
+        xs = rng.randint(0, 4, L)
+        ys = rng.randint(0, 4, L)
+        sp = SeqPair(NamedSeq("i", [alphabet[t] for t in xs]),
+                     NamedSeq("o", [alphabet[t] for t in ys]))
+        ref = ForwardMatrix(ev, sp).log_like()
+        got = forward_2d_f64(ad, al, au, cl, xs, ys)
+        assert abs(ref - got) < 2e-5
+
+
 def test_pallas_wavefront_chained_interpret():
     """Chained (sequence-packed) variant vs host oracle, uniform lengths."""
     import sys

@@ -1,0 +1,93 @@
+"""Device-filled Viterbi: MAXPLUS lattice on TPU, traceback on host.
+
+The O(Li*Lo*S^2) Viterbi fill runs on device (max-plus semiring through the
+same 2D engines as Forward; the max-plus silent closure is the host DAG-DP
+closure of ops/lowering.closure_for); the resulting value lattice is copied
+back once and the O(path) traceback walks it with the SAME host machinery
+as the host ViterbiMatrix (algo/dp_host.DPMatrix.traceback), so alignment
+output is identical to the host engine by construction of the recurrence
+and differs only by f32-vs-f64 fill noise at exact ties.
+
+Equivalent reference capability: the WebGPU package's viterbi(+path) on
+GPU (ref js/webgpu/machineboss-gpu.mjs:63, shaders/wavefront-*.wgsl).
+"""
+
+import numpy as np
+
+from .dp_host import DPMatrix, NEG_INF
+from ..ops.lowering import LoweredMachine
+
+
+class DeviceViterbiMatrix(DPMatrix):
+    """Drop-in for algo/dp_host.ViterbiMatrix with the fill on device.
+
+    Accepts an optional pre-built LoweredMachine (reuse across pairs) and
+    an optional `fill_fn(in_toks0, out_toks0) -> (Li+1, Lo+1, S) ndarray`
+    override (e.g. the Pallas wavefront Viterbi kernel)."""
+
+    def __init__(self, ev, seq_pair, lowered=None, fill_fn=None,
+                 dtype=np.float32):
+        super().__init__(ev, seq_pair)
+        it0 = np.array(self.input, np.int32) - 1      # device tokens 0-based
+        ot0 = np.array(self.output, np.int32) - 1
+        if fill_fn is None:
+            import jax.numpy as jnp
+            from ..ops import dp2d
+            from ..ops.semiring import MAXPLUS
+            lm = lowered if lowered is not None else \
+                LoweredMachine(ev, dtype=dtype)
+            a_diag, a_left, a_up, closure = (
+                jnp.array(x) for x in lm.matrices_2d("maxplus"))
+            lattice = np.transpose(np.array(dp2d.forward_2d_lattice(
+                a_diag, a_left, a_up, closure,
+                jnp.array(it0), jnp.array(ot0),
+                sr=MAXPLUS)), (1, 0, 2))               # -> (Li+1, Lo+1, S)
+        else:
+            # fill_fn contract: (Li+1, Lo+1, S)
+            lattice = np.asarray(fill_fn(it0, ot0))
+        self.cell[...] = np.maximum(np.asarray(lattice, np.float64),
+                                    NEG_INF)
+
+    def log_like(self):
+        return self.get(self.in_len, self.out_len, self.n_states - 1)
+
+    def path(self, machine):
+        return self.traceback(machine)
+
+
+def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32):
+    """Batched device Viterbi fill for a list of tokenizable SeqPairs.
+
+    ONE batched MAXPLUS wavefront call (padded to the max lengths) fills
+    every pair's value lattice on device; per-pair matrices share the
+    compiled kernel instead of recompiling per length pair. Returns
+    [DeviceViterbiMatrix, ...] aligned with seq_pairs."""
+    import jax.numpy as jnp
+    from ..ops.wavefront import (wavefront_2d_diagonals,
+                                 lattice_from_diagonals)
+    from ..ops.semiring import MAXPLUS
+
+    lm = lowered if lowered is not None else LoweredMachine(ev, dtype=dtype)
+    mats = tuple(jnp.array(x) for x in lm.matrices_2d("maxplus"))
+    tok_in = [np.array(ev.input_tokenizer.tokenize(sp.input.seq),
+                       np.int32) - 1 for sp in seq_pairs]
+    tok_out = [np.array(ev.output_tokenizer.tokenize(sp.output.seq),
+                        np.int32) - 1 for sp in seq_pairs]
+    B = len(seq_pairs)
+    Li = max([len(t) for t in tok_in] + [1])
+    Lo = max([len(t) for t in tok_out] + [1])
+    it = np.zeros((B, Li), np.int32)
+    ot = np.zeros((B, Lo), np.int32)
+    for b in range(B):
+        it[b, :len(tok_in[b])] = tok_in[b]
+        ot[b, :len(tok_out[b])] = tok_out[b]
+    diags = wavefront_2d_diagonals(*mats, jnp.array(it), jnp.array(ot),
+                                   sr=MAXPLUS)
+    lat = lattice_from_diagonals(diags, Li, Lo)       # (B, Li+1, Lo+1, S)
+    out = []
+    for b, sp in enumerate(seq_pairs):
+        li, lo = len(tok_in[b]), len(tok_out[b])
+        out.append(DeviceViterbiMatrix(
+            ev, sp, fill_fn=lambda i0, o0, b=b, li=li, lo=lo:
+            lat[b, :li + 1, :lo + 1, :]))
+    return out

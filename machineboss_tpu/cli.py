@@ -303,7 +303,11 @@ def _run(argv):
     # ----------------------------------------------------------------- counts
     if "--counts" in vm:
         ev = EvaluatedMachine(machine, params)
-        counts = MachineCounts(ev, data)
+        if vm.get("--engine") == "device":
+            from .parallel.em import device_counts
+            counts = device_counts(machine, params, data)
+        else:
+            counts = MachineCounts(ev, data)
         sys.stdout.write(counts.param_counts_json_str(machine, params) + "\n")
 
     # ----------------------------------------------------------- align/viterbi
@@ -311,12 +315,22 @@ def _run(argv):
         if not got_data:
             raise CLIError("To align sequences, please specify a data file")
         ev = EvaluatedMachine(machine, params)
+        use_device = vm.get("--engine") == "device"
+        device_mats = {}
+        if use_device:
+            from .algo.viterbi_device import device_viterbi_matrices
+            scorable = [sp for sp in data.seq_pairs if ev.can_tokenize(sp)]
+            if scorable:
+                filled = device_viterbi_matrices(ev, scorable)
+                device_mats = {id(sp): vm_ for sp, vm_ in zip(scorable,
+                                                              filled)}
         vit_out = ["["]
         align_results = SeqPairList()
         for n, sp in enumerate(data.seq_pairs):
             vit_ll = NEG_INF
             if ev.can_tokenize(sp):
-                vit = ViterbiMatrix(ev, sp)
+                vit = device_mats[id(sp)] if use_device \
+                    else ViterbiMatrix(ev, sp)
                 vit_ll = vit.log_like()
                 if vit_ll > NEG_INF:
                     path = vit.path(machine)

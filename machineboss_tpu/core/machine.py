@@ -33,6 +33,30 @@ LEAVE_SILENT_CYCLES = 0
 BREAK_SILENT_CYCLES = 1
 SUM_SILENT_CYCLES = 2
 
+# Native (C++) fast-path gating: the native core (native/libmbcore.so) is
+# byte-identical to this module (tests/test_native_parity.py) and takes over
+# the hot graph ops for large machines. MB_NATIVE=1 forces it everywhere,
+# MB_NATIVE=0 disables it; default uses it above these size thresholds.
+NATIVE_COMPOSE_MIN_PRODUCT = 20000
+NATIVE_TRANSFORM_MIN_STATES = 2000
+
+
+def _native_mode():
+    import os
+    v = os.environ.get("MB_NATIVE", "")
+    if v == "0":
+        return "off"
+    if v == "1":
+        return "force"
+    return "auto"
+
+
+def _native_lib():
+    if _native_mode() == "off":
+        return None
+    from .. import native
+    return native if native.available() else None
+
 
 def name_dump(name):
     """nlohmann::json::dump() compatible compact dump (sorted object keys)."""
@@ -593,6 +617,17 @@ class Machine:
     def compose(first, orig_second, assign_state_names=True,
                 collapse_degenerate=True, cycle_strategy=SUM_SILENT_CYCLES):
         """first's output feeds second's input (ref: src/machine.cpp:794)."""
+        native = _native_lib()
+        if (native is not None and assign_state_names and collapse_degenerate
+                and (_native_mode() == "force"
+                     or first.n_states() * orig_second.n_states()
+                     >= NATIVE_COMPOSE_MIN_PRODUCT)):
+            out = native.compose_json(first.to_json_str(),
+                                      orig_second.to_json_str(),
+                                      cycle_strategy)
+            result = Machine.from_json(_json.loads(out))
+            result.import_from(first, orig_second)
+            return result
         second = (orig_second if orig_second.is_waiting_machine()
                   else orig_second.waiting_machine())
         i_states, j_states = first.n_states(), second.n_states()
@@ -1151,6 +1186,16 @@ class Machine:
 
     def eliminate_silent_transitions(self, cycle_strategy=SUM_SILENT_CYCLES):
         """Remove all silent transitions (ref: src/machine.cpp:1611)."""
+        native = _native_lib()
+        if native is not None and (_native_mode() == "force"
+                                   or self.n_states()
+                                   >= NATIVE_TRANSFORM_MIN_STATES):
+            out = native.transform_json(self.to_json_str(),
+                                        "eliminate_silent",
+                                        cycle_strategy=cycle_strategy)
+            result = Machine.from_json(_json.loads(out))
+            result.import_from(self)
+            return result
         if not self.is_advancing_machine():
             return self.process_cycles(cycle_strategy) \
                        .eliminate_silent_transitions()
@@ -1291,6 +1336,15 @@ class Machine:
 
     def merge_equivalent_states(self):
         """Merge states with identical outgoing transitions (ref :1435)."""
+        native = _native_lib()
+        if native is not None and (_native_mode() == "force"
+                                   or self.n_states()
+                                   >= NATIVE_TRANSFORM_MIN_STATES):
+            out = native.transform_json(self.to_json_str(),
+                                        "merge_equivalent")
+            result = Machine.from_json(_json.loads(out))
+            result.import_from(self)
+            return result
         current = self
         while True:
             n_old = current.n_states()

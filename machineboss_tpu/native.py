@@ -32,6 +32,8 @@ def load_library():
                                ctypes.c_int]
     lib.mb_transform.restype = ctypes.c_void_p
     lib.mb_transform.argtypes = [ctypes.c_char_p]
+    lib.mb_combine.restype = ctypes.c_void_p
+    lib.mb_combine.argtypes = [ctypes.c_char_p]
     lib.mb_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
@@ -62,12 +64,27 @@ def compose_json(a_json_text, b_json_text, cycle_strategy=2):
     return out
 
 
-def transform_json(machine_json_text, op):
+def transform_json(machine_json_text, op, **kwargs):
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
-    req = json.dumps({"op": op, "machine": json.loads(machine_json_text)})
-    ptr = lib.mb_transform(req.encode())
+    req = {"op": op, "machine": json.loads(machine_json_text)}
+    req.update(kwargs)
+    ptr = lib.mb_transform(json.dumps(req).encode())
+    out = _take_string(lib, ptr)
+    if out.startswith('{"error"'):
+        raise RuntimeError(json.loads(out)["error"])
+    return out
+
+
+def combine_json(op, a_json_text, b_json_text):
+    """Two-machine native constructions: op in {'concat', 'union'}."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    req = json.dumps({"op": op, "a": json.loads(a_json_text),
+                      "b": json.loads(b_json_text)})
+    ptr = lib.mb_combine(req.encode())
     out = _take_string(lib, ptr)
     if out.startswith('{"error"'):
         raise RuntimeError(json.loads(out)["error"])

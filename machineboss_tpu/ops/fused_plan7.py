@@ -192,8 +192,28 @@ class Plan7Fused:
             a_mat[k, 0:St, 2 * St:] = sc["m_to_d"][k - 1] + eye_log
             a_mat[k, 2 * St:, 2 * St:] = sc["d_to_d"][k - 1] + eye_log
 
+        # per-output-token paired-emission tensors, hoisted out of the row
+        # scan: emy_all[y] = lse_a(m_emit[:,a] + T_{a,y}) depends only on
+        # the row's output token, and n_out is small (DNA reads: 5), so
+        # precomputing all of them removes a (K, A, St, St) broadcast
+        # reduction from EVERY scan step
+        emy_all = _np_lse(m_emit[None, :, :, None, None]
+                          + np.transpose(tay, (1, 0, 2, 3))[:, None],
+                          axis=2)                              # (n_out,K,S,S)
+        eiy_all = _np_lse(i_emit[None, :, :, None, None]
+                          + np.transpose(tay, (1, 0, 2, 3))[:, None],
+                          axis=2)
+        enully_all = _np_lse(null_emit[None, :, None, None]
+                             + np.transpose(tay, (1, 0, 2, 3)), axis=1)
+        eins0y_all = _np_lse(ins0_emit[None, :, None, None]
+                             + np.transpose(tay, (1, 0, 2, 3)), axis=1)
+
         f32 = jnp.float32
         self._j = j = {
+            "emy_all": jnp.array(emy_all, f32),
+            "eiy_all": jnp.array(eiy_all, f32),
+            "enully_all": jnp.array(enully_all, f32),
+            "eins0y_all": jnp.array(eins0y_all, f32),
             "tay": jnp.array(tay, f32), "ty0": jnp.array(ty0, f32),
             "em0": jnp.array(em0, f32), "ei0": jnp.array(ei0, f32),
             "enull0": jnp.array(enull0, f32),
@@ -392,15 +412,10 @@ class Plan7Fused:
         def step(row, inp):
             y, pos = inp
             ty = j["ty0"][y]                                  # (St, St)
-            tay_y = j["tay"][:, y]                            # (A, St, St)
-            emy = SR.reduce(
-                j["m_emit"][:, :, None, None] + tay_y[None], axis=1)
-            eiy = SR.reduce(
-                j["i_emit"][:, :, None, None] + tay_y[None], axis=1)
-            enully = SR.reduce(
-                j["null_emit"][:, None, None] + tay_y, axis=0)
-            eins0y = SR.reduce(
-                j["ins0_emit"][:, None, None] + tay_y, axis=0)
+            emy = j["emy_all"][y]                             # (K, St, St)
+            eiy = j["eiy_all"][y]
+            enully = j["enully_all"][y]
+            eins0y = j["eins0y_all"][y]
 
             def kmove(v, m):                                  # (K,St)@(St,St)
                 return SR.matmul(v[:, None, :],

@@ -1071,7 +1071,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                 pltpu.VMEM((1, cells), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=120 * 1024 * 1024),
             interpret=interpret,
         )
         mats_dev = ([jnp.array(m) for m in pieces]
@@ -1147,7 +1147,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                     pltpu.VMEM((1, cells), jnp.float32),
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
+                    vmem_limit_bytes=120 * 1024 * 1024),
                 interpret=interpret,
             )
 
@@ -1244,7 +1244,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                     pltpu.VMEM((1, cells), jnp.int32),       # kidx
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=100 * 1024 * 1024),
+                    vmem_limit_bytes=120 * 1024 * 1024),
                 interpret=interpret,
             )
 
@@ -1308,7 +1308,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                 pltpu.VMEM((1, cells), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=120 * 1024 * 1024),
             interpret=interpret,
         )
 
@@ -1348,7 +1348,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             pltpu.VMEM((1, cells), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )
 

@@ -109,3 +109,65 @@ def forward_2d_wavefront(a_diag, a_left, a_up, closure, in_toks, out_toks,
     (_, _, res), _ = jax.lax.scan(
         step, (d0, jnp.full_like(d0, sr.zero), res0), ds)
     return res
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def wavefront_2d_diagonals(a_diag, a_left, a_up, closure, in_toks, out_toks,
+                           sr=LOGSUMEXP):
+    """Batched wavefront that RETURNS every diagonal slab.
+
+    Same recurrence as forward_2d_wavefront; output (n_diags, B, W, S)
+    where slab d holds cells (i, o=d-i). With sr=MAXPLUS this is the
+    device Viterbi fill whose reassembled lattice feeds the host traceback
+    (the reference GPU package's viterbi+path capability,
+    ref js/webgpu/machineboss-gpu.mjs:63)."""
+    Ti, To, S, _ = a_diag.shape
+    B, Li = in_toks.shape
+    Lo = out_toks.shape[1]
+    dtype = closure.dtype
+    W = Li + 1
+
+    diag_mats = a_diag.reshape(Ti * To, S, S)
+    x_tok = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), in_toks.astype(jnp.int32)], axis=1)
+
+    e0 = jnp.full((S,), sr.zero, dtype).at[0].set(sr.one)
+    d0 = jnp.full((B, W, S), sr.zero, dtype)
+    d0 = d0.at[:, 0, :].set(sr.vecmat(e0, closure)[None, :])
+
+    i_idx = jnp.arange(W)
+
+    def step(carry, d):
+        prev1, prev2 = carry
+        o_idx = d - i_idx
+        o_safe = jnp.clip(o_idx - 1, 0, Lo - 1)
+        y_tok = out_toks[:, o_safe].astype(jnp.int32)
+
+        left_src = jnp.concatenate(
+            [jnp.full((B, 1, S), sr.zero, dtype), prev1[:, :-1]], axis=1)
+        left = _select_tokens(_apply_all_tokens(left_src, a_left, sr), x_tok)
+        up = _select_tokens(_apply_all_tokens(prev1, a_up, sr), y_tok)
+        diag_src = jnp.concatenate(
+            [jnp.full((B, 1, S), sr.zero, dtype), prev2[:, :-1]], axis=1)
+        dg = _select_tokens(_apply_all_tokens(diag_src, diag_mats, sr),
+                            x_tok * To + y_tok)
+
+        u = sr.add(sr.add(left, up), dg)
+        cur = sr.vecmat(u.reshape(B * W, S), closure).reshape(B, W, S)
+        valid = (o_idx >= 0) & (o_idx <= Lo)
+        cur = jnp.where(valid[None, :, None], cur, sr.zero)
+        return (cur, prev1), cur
+
+    ds = jnp.arange(1, Li + Lo + 1)
+    _, rest = jax.lax.scan(step, (d0, jnp.full_like(d0, sr.zero)), ds)
+    return jnp.concatenate([d0[None], rest], axis=0)
+
+
+def lattice_from_diagonals(diags, Li, Lo):
+    """Host reassembly: (n_diags, B, W, S) -> (B, Li+1, Lo+1, S)."""
+    import numpy as np
+    diags = np.asarray(diags)
+    ii = np.arange(Li + 1)[:, None]
+    oo = np.arange(Lo + 1)[None, :]
+    lat = diags[ii + oo, :, ii, :]            # (Li+1, Lo+1, B, S)
+    return np.transpose(lat, (2, 0, 1, 3))

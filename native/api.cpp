@@ -36,7 +36,9 @@ char* mb_compose(const char* a_json, const char* b_json, int cycle_strategy) {
 }
 
 // Generic single-machine transforms: {"op": ..., "machine": {...}}
-// ops: advance_sort, advancing, drop_silent_back, ergodic, waiting
+// ops: advance_sort, advancing, drop_silent_back, ergodic, waiting,
+//      eliminate_silent, merge_equivalent, reverse, transpose,
+//      zero_or_one, kleene_plus, kleene_star
 char* mb_transform(const char* request_json) {
   try {
     Json req = Json::parse(request_json);
@@ -54,6 +56,44 @@ char* mb_transform(const char* request_json) {
       out = m.ergodic_machine();
     else if (op == "waiting")
       out = m.waiting_machine();
+    else if (op == "eliminate_silent")
+      out = m.eliminate_silent_transitions(
+          req.contains("cycle_strategy") ? (int)req.at("cycle_strategy").as_int()
+                                         : 2);
+    else if (op == "merge_equivalent")
+      out = m.merge_equivalent_states();
+    else if (op == "reverse")
+      out = m.reverse();
+    else if (op == "transpose")
+      out = m.transpose();
+    else if (op == "zero_or_one")
+      out = Machine::zero_or_one(m);
+    else if (op == "kleene_plus")
+      out = Machine::kleene_plus(m);
+    else if (op == "kleene_star")
+      out = Machine::kleene_star(m);
+    else
+      return error_result("unknown op: " + op);
+    return dup_result(out.to_json_str());
+  } catch (const std::exception& e) {
+    return error_result(e.what());
+  }
+}
+
+// Two-machine constructions: {"op": ..., "a": {...}, "b": {...}}
+// ops: concat, union
+char* mb_combine(const char* request_json) {
+  try {
+    Json req = Json::parse(request_json);
+    const std::string& op = req.at("op").as_string();
+    ExprArena arena;
+    Machine a = Machine::from_json(req.at("a"), &arena);
+    Machine b = Machine::from_json(req.at("b"), &arena);
+    Machine out(&arena);
+    if (op == "concat")
+      out = Machine::concatenate(a, b);
+    else if (op == "union")
+      out = Machine::take_union(a, b);
     else
       return error_result("unknown op: " + op);
     return dup_result(out.to_json_str());

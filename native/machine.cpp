@@ -249,6 +249,275 @@ Machine Machine::pad_with_null_states() const {
 }
 
 // ---------------------------------------------------------------------------
+// silent-transition elimination (mirrors Python
+// machine.py:eliminate_silent_transitions; ref src/machine.cpp:1611)
+
+Machine Machine::eliminate_silent_transitions(int cycle_strategy) const {
+  if (!is_advancing_machine())
+    return process_cycles(cycle_strategy).eliminate_silent_transitions(
+        cycle_strategy);
+  ExprArena& A = *arena;
+  StateIndex n = n_states();
+  Machine em(arena);
+  if (!n) return em;
+  em.states.resize(n);
+  for (StateIndex s = 0; s < n; ++s) em.states[s].name = states[s].name;
+  std::vector<std::vector<Transition>> silent_trans(n);
+  for (StateIndex s = n - 1; s >= 0; --s) {
+    const State& ms = states[s];
+    State& ems = em.states[s];
+    TransAccumulator silent, loud;
+    ExprId self_loop = ExprArena::kZero;
+    for (const auto& t : ms.trans) {
+      if (t.is_silent()) {
+        if (t.dest == s)
+          self_loop = A.add(self_loop, t.weight);
+        else if (states[t.dest].terminates() || t.dest == n - 1)
+          silent.accumulate(A, t.in, t.out, t.dest, t.weight);
+        else {
+          for (const auto& t2 : silent_trans[t.dest])
+            silent.accumulate(A, t.in, t.out, t2.dest,
+                              A.mul(t.weight, t2.weight));
+          for (const auto& t2 : em.states[t.dest].trans)
+            loud.accumulate(A, t2.in, t2.out, t2.dest,
+                            A.mul(t.weight, t2.weight));
+        }
+      } else {
+        loud.accumulate(A, t.in, t.out, t.dest, t.weight);
+      }
+    }
+    ems.trans = loud.transitions();
+    silent_trans[s] = silent.transitions();
+    if (!A.is_zero(self_loop)) {
+      ExprId self_exit = A.geometric_sum(self_loop);
+      for (auto& t : silent_trans[s]) t.weight = A.mul(self_exit, t.weight);
+    }
+  }
+  for (auto& ems : em.states) {
+    TransAccumulator loud;
+    for (const auto& t : ems.trans) {
+      loud.accumulate(A, t.in, t.out, t.dest, t.weight);
+      for (const auto& t2 : silent_trans[t.dest])
+        loud.accumulate(A, t.in, t.out, t2.dest, A.mul(t.weight, t2.weight));
+    }
+    ems.trans = loud.transitions();
+  }
+  for (const auto& t : silent_trans[0]) em.states[0].trans.push_back(t);
+  return em.ergodic_machine();
+}
+
+// ---------------------------------------------------------------------------
+// merge equivalent states (mirrors Python machine.py:merge_equivalent_states;
+// ref src/machine.cpp:1435): fixpoint of collapse-degenerates + merge states
+// with identical outgoing signature + ergodic trim.
+
+Machine Machine::merge_equivalent_states() const {
+  ExprArena& A = *arena;
+  Machine current = *this;
+  for (;;) {
+    StateIndex n_old = current.n_states();
+    Machine nxt(arena);
+    nxt.states.reserve(n_old);
+    for (StateIndex s = 0; s < n_old; ++s) {
+      TransAccumulator ta;
+      for (const auto& t : current.states[s].trans)
+        ta.accumulate(A, t.in, t.out, t.dest, t.weight);
+      State st;
+      st.name = current.states[s].name;
+      st.trans = ta.transitions();
+      nxt.states.push_back(std::move(st));
+    }
+    current = std::move(nxt);
+    std::map<std::string, std::vector<StateIndex>> sig_groups;
+    for (StateIndex s = 0; s < current.n_states(); ++s) {
+      std::vector<std::string> parts;
+      for (const auto& t : current.states[s].trans) {
+        std::string w;
+        A.to_json_str(t.weight, w);
+        parts.push_back(std::to_string(t.dest) + "\t" + t.in + "\t" + t.out +
+                        "\t" + w);
+      }
+      std::sort(parts.begin(), parts.end());
+      std::string sig;
+      for (const auto& p : parts) {
+        sig += p;
+        sig += '\n';
+      }
+      sig += '\n';
+      sig_groups[sig].push_back(s);
+    }
+    std::map<StateIndex, StateIndex> redirect;
+    for (const auto& kv : sig_groups) {
+      const auto& group = kv.second;
+      if (group.size() <= 1) continue;
+      StateIndex rep = group[0];
+      for (StateIndex s : group)
+        if (s == 0 || s == current.n_states() - 1) {
+          rep = s;
+          break;
+        }
+      for (StateIndex s : group)
+        if (s != rep) redirect[s] = rep;
+    }
+    if (redirect.empty()) break;
+    for (auto& ms : current.states)
+      for (auto& t : ms.trans) {
+        auto it = redirect.find(t.dest);
+        if (it != redirect.end()) t.dest = it->second;
+      }
+    current = current.ergodic_machine();
+    if (current.n_states() == n_old) break;
+  }
+  Machine final_m(arena);
+  final_m.states.reserve(current.n_states());
+  for (StateIndex s = 0; s < current.n_states(); ++s) {
+    TransAccumulator ta;
+    for (const auto& t : current.states[s].trans)
+      ta.accumulate(A, t.in, t.out, t.dest, t.weight);
+    State st;
+    st.name = current.states[s].name;
+    st.trans = ta.transitions();
+    final_m.states.push_back(std::move(st));
+  }
+  return final_m;
+}
+
+// ---------------------------------------------------------------------------
+// structural transforms
+
+Machine Machine::reverse() const {
+  StateIndex n = n_states();
+  Machine m(arena);
+  m.states.resize(n);
+  for (StateIndex s = 0; s < n; ++s) {
+    StateIndex r = n - 1 - s;
+    m.states[r].name = states[s].name;
+    for (const auto& t : states[s].trans) {
+      Transition nt;
+      nt.in = t.in;
+      nt.out = t.out;
+      nt.dest = r;
+      nt.weight = t.weight;
+      m.states[n - 1 - t.dest].trans.push_back(std::move(nt));
+    }
+  }
+  return m;
+}
+
+Machine Machine::transpose() const {
+  Machine m = *this;
+  for (auto& ms : m.states)
+    for (auto& t : ms.trans) std::swap(t.in, t.out);
+  return m;
+}
+
+// ---------------------------------------------------------------------------
+// binary constructions and closures (mirror machine.py; ref
+// src/machine.cpp:1748-1860). Name tags match the Python writer exactly.
+
+static Json tagged_name(const char* tag, const Json& name) {
+  return Json(JsonArray{Json(tag), name});
+}
+
+Machine Machine::concatenate(const Machine& left, const Machine& right) {
+  if (!left.n_states() || !right.n_states())
+    throw std::runtime_error("Attempt to concatenate uninitialized transducer");
+  Machine m(left.arena);
+  m.states = left.states;
+  for (auto& ms : m.states)
+    if (!ms.name.is_null()) ms.name = tagged_name("concat-l", ms.name);
+  StateIndex offset = left.n_states();
+  for (const auto& rs : right.states) {
+    State st = rs;
+    if (!st.name.is_null()) st.name = tagged_name("concat-r", st.name);
+    for (auto& t : st.trans) t.dest += offset;
+    m.states.push_back(std::move(st));
+  }
+  Transition bridge;
+  bridge.dest = offset;
+  m.states[left.end_state()].trans.push_back(std::move(bridge));
+  return m;
+}
+
+Machine Machine::take_union(const Machine& first, const Machine& second) {
+  if (!first.n_states() || !second.n_states())
+    throw std::runtime_error(
+        "Attempt to find union of uninitialized transducer");
+  Machine m(first.arena);
+  m.states.emplace_back();
+  for (const auto& fs : first.states) {
+    State st = fs;
+    if (!st.name.is_null()) st.name = tagged_name("union-1", st.name);
+    for (auto& t : st.trans) t.dest += 1;
+    m.states.push_back(std::move(st));
+  }
+  StateIndex off2 = 1 + first.n_states();
+  for (const auto& ss : second.states) {
+    State st = ss;
+    if (!st.name.is_null()) st.name = tagged_name("union-2", st.name);
+    for (auto& t : st.trans) t.dest += off2;
+    m.states.push_back(std::move(st));
+  }
+  m.states.emplace_back();
+  StateIndex end = m.n_states() - 1;
+  Transition t1;
+  t1.dest = 1;
+  m.states[0].trans.push_back(std::move(t1));
+  Transition t2;
+  t2.dest = off2;
+  m.states[0].trans.push_back(std::move(t2));
+  Transition t3;
+  t3.dest = end;
+  m.states[1 + first.end_state()].trans.push_back(std::move(t3));
+  Transition t4;
+  t4.dest = end;
+  m.states[off2 + second.end_state()].trans.push_back(std::move(t4));
+  return m;
+}
+
+Machine Machine::zero_or_one(const Machine& q) {
+  if (!q.n_states())
+    throw std::runtime_error("Attempt to quantify uninitialized transducer");
+  Machine m = q;
+  if (!m.states.back().trans.empty()) {
+    for (auto& ms : m.states)
+      if (!ms.name.is_null()) ms.name = tagged_name("quant-main", ms.name);
+    Transition bridge;
+    bridge.dest = m.end_state() + 1;
+    m.states.back().trans.push_back(std::move(bridge));
+    State st;
+    if (!q.state_names_all_null()) st.name = Json(JsonArray{Json("quant-end")});
+    m.states.push_back(std::move(st));
+  }
+  Transition skip;
+  skip.dest = m.end_state();
+  m.states[0].trans.push_back(std::move(skip));
+  return m;
+}
+
+Machine Machine::kleene_plus(const Machine& k) {
+  if (!k.n_states())
+    throw std::runtime_error(
+        "Attempt to form Kleene closure of uninitialized transducer");
+  Machine m(k.arena);
+  State front;
+  if (!k.state_names_all_null()) front.name = Json("kleene-plus");
+  m.states.push_back(std::move(front));
+  for (const auto& ks : k.states) {
+    State st = ks;
+    for (auto& t : st.trans) t.dest += 1;
+    m.states.push_back(std::move(st));
+  }
+  Transition start;
+  start.dest = 1;
+  m.states[0].trans.push_back(std::move(start));
+  Transition loop;
+  loop.dest = 1;
+  m.states[m.end_state()].trans.push_back(std::move(loop));
+  return m;
+}
+
+// ---------------------------------------------------------------------------
 // compose
 
 static bool is_json_pair(const Json& v) {

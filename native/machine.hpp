@@ -259,6 +259,26 @@ public:
   Machine pad_with_null_states() const;
   bool has_null_padding_states() const;
 
+  // ---- silent-transition elimination / state merging ---------------------
+
+  Machine eliminate_silent_transitions(int cycle_strategy = 2) const;
+  Machine merge_equivalent_states() const;
+
+  // ---- structural transforms ---------------------------------------------
+
+  Machine reverse() const;
+  Machine transpose() const;
+
+  // ---- binary constructions / closures ------------------------------------
+
+  static Machine concatenate(const Machine& left, const Machine& right);
+  static Machine take_union(const Machine& first, const Machine& second);
+  static Machine zero_or_one(const Machine& q);
+  static Machine kleene_plus(const Machine& k);
+  static Machine kleene_star(const Machine& k) {
+    return zero_or_one(kleene_plus(k));
+  }
+
   // ---- compose ----------------------------------------------------------
 
   static Machine compose(const Machine& first, const Machine& orig_second,

@@ -188,8 +188,11 @@ def main():
     n_chunks = int(os.environ.get("BENCH_NCHUNKS", "0")) or None
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
     variant = os.environ.get("BENCH_VARIANT") or None
-    if workload == "prot2dna" and "BENCH_VARIANT" not in os.environ:
-        variant = "factored"
+    if "BENCH_VARIANT" not in os.environ:
+        # measured defaults (PERF.md): chained packs ~2x lane occupancy on
+        # the uniform-length dense grid; factored exploits prot2dna's
+        # low-rank token structure
+        variant = "factored" if workload == "prot2dna" else "chained"
     chain = int(os.environ.get("BENCH_CHAIN", "8"))
     run = None
     if engine == "pallas":

@@ -38,7 +38,7 @@ def _round_up(x, m):
 
 
 def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
-                   rescale_every, sink,
+                   rescale_every, sink, classes,
                    # refs:
                    m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
                    c0_ref, w_ref, xoh_ref, ydiag_ref, icell_ref, dfin_ref,
@@ -70,7 +70,17 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
     256x384 padded tiles). The readout value of the trimmed End state is
     recovered as w^T p_active with w = inv(C_aa) @ C[active, End]
     (host-precomputed closure algebra), valid because End has no outgoing
-    transitions and only silent incoming ones."""
+    transitions and only silent incoming ones.
+
+    `classes` = (has_up, has_left, has_diag): compile-time presence of
+    each transition class (host-checked tensor sums). Absent classes are
+    specialized away — their neighbor rolls, exp weights, stacked z rows
+    and matmul columns are never emitted. A fully dense in+out transducer
+    (the reference benchmark grid machine) is diag-only: the wide dot
+    shrinks from (To*S, S+Ti*S) to (To*S, Ti*S) and the whole left matmul
+    disappears (~1.5x fewer MXU FLOPs, plus the w_up/w_left exp/roll VPU
+    passes)."""
+    has_up, has_left, has_diag = classes
     s_id = pl.program_id(0)
     cells = B * W
     chunk = cells // n_chunks
@@ -124,39 +134,52 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             lo_c, hi_c = c * chunk, (c + 1) * chunk
             bnd = boundary[:, lo_c:hi_c]
             m1c = m1_ref[:, lo_c:hi_c]
-            m2c = m2_ref[:, lo_c:hi_c]
-            m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
-            m2s = jnp.where(bnd, rollc(m2c), NEG_INF)
-            mu_c = jnp.maximum(jnp.maximum(m1c, m1s), m2s)
+            mu_terms = []
+            if has_up:
+                mu_terms.append(m1c)
+            if has_left:
+                m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+                mu_terms.append(m1s)
+            if has_diag:
+                m2s = jnp.where(bnd, rollc(m2_ref[:, lo_c:hi_c]), NEG_INF)
+                mu_terms.append(m2s)
+            mu_c = functools.reduce(jnp.maximum, mu_terms)
             mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
-            w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
-            w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
-            w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
             mu_parts.append(mu_c)
 
             p1c = p1_ref[:, lo_c:hi_c]
-            p1s = jnp.where(bnd, rollc(p1c), 0.0)
-            p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
 
             xoh_c = xoh_ref[:, lo_c:hi_c]
             yoh_c = yoh[:, lo_c:hi_c]
 
             # fold the scalar weights into the (Ti, chunk) one-hot rows so
             # the per-block multiplies are the only full (S, chunk) passes
-            xw_diag = xoh_c * w_diag
-            xw_left = xoh_c * w_left
-            z_parts = [p1c * w_up] + [p2s * xw_diag[t:t + 1, :]
-                                      for t in range(Ti)]
-            z = jnp.concatenate(z_parts, axis=0)        # (S + Ti*S, chunk)
-            out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+            z_parts = []
+            if has_up:
+                w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+                z_parts.append(p1c * w_up)
+            if has_diag:
+                w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+                p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+                xw_diag = xoh_c * w_diag
+                z_parts += [p2s * xw_diag[t:t + 1, :] for t in range(Ti)]
 
-            l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
-            lz = jnp.concatenate(l_parts, axis=0)       # (Ti*S, chunk)
-            sl = mm(m_left_ref, m_left_lo_ref, lz)
-
-            cur = sl
-            for t in range(To):
-                cur += out_ud[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
+            cur = None
+            if z_parts:
+                z = jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1 \
+                    else z_parts[0]                 # (S + Ti*S, chunk)
+                out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+                cur = out_ud[0 * S:1 * S, :] * yoh_c[0:1, :]
+                for t in range(1, To):
+                    cur += out_ud[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
+            if has_left:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1c), 0.0)
+                xw_left = xoh_c * w_left
+                l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
+                lz = jnp.concatenate(l_parts, axis=0)   # (Ti*S, chunk)
+                sl = mm(m_left_ref, m_left_lo_ref, lz)
+                cur = sl if cur is None else cur + sl
             p2_ref[:, lo_c:hi_c] = cur
         mu = jnp.concatenate(mu_parts, axis=1)
 
@@ -203,7 +226,7 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 
 
 def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
-                    rescale_every, sink, n_chain, sigma,
+                    rescale_every, sink, classes, n_chain, sigma,
                     # refs:
                     m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
                     c0_ref, w_ref, tok_ref, icell_ref,
@@ -229,7 +252,10 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
     in-kernel by iota compare. Readout: chain k's final cells all land
     on absolute diagonal sigma*k + Li + Lo, captured into res row k.
 
-    Requires uniform sequence lengths (Li, Lo) across the batch."""
+    Requires uniform sequence lengths (Li, Lo) across the batch.
+    `classes` = (has_up, has_left, has_diag) compile-time specialization,
+    as in _merged_kernel."""
+    has_up, has_left, has_diag = classes
     s_id = pl.program_id(0)
     cells = B * W
     chunk = cells // n_chunks
@@ -302,37 +328,51 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
             lo_c, hi_c = c * chunk, (c + 1) * chunk
             bnd = boundary[:, lo_c:hi_c]
             m1c = m1_ref[:, lo_c:hi_c]
-            m2c = m2_ref[:, lo_c:hi_c]
-            m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
-            m2s = jnp.where(bnd, rollc(m2c), NEG_INF)
-            mu_c = jnp.maximum(jnp.maximum(m1c, m1s), m2s)
+            mu_terms = []
+            if has_up:
+                mu_terms.append(m1c)
+            if has_left:
+                m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+                mu_terms.append(m1s)
+            if has_diag:
+                m2s = jnp.where(bnd, rollc(m2_ref[:, lo_c:hi_c]), NEG_INF)
+                mu_terms.append(m2s)
+            mu_c = functools.reduce(jnp.maximum, mu_terms)
             mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
-            w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
-            w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
-            w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
             mu_parts.append(mu_c)
 
             p1c = p1_ref[:, lo_c:hi_c]
-            p1s = jnp.where(bnd, rollc(p1c), 0.0)
-            p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
 
             xm = xm_full[:, lo_c:hi_c]
             ym = ym_full[:, lo_c:hi_c]
 
-            xw_diag = jnp.where(xm, w_diag, 0.0)
-            xw_left = jnp.where(xm, w_left, 0.0)
-            z_parts = [p1c * w_up] + [p2s * xw_diag[t:t + 1, :]
-                                      for t in range(Ti)]
-            z = jnp.concatenate(z_parts, axis=0)        # (S + Ti*S, chunk)
-            out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+            z_parts = []
+            if has_up:
+                w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+                z_parts.append(p1c * w_up)
+            if has_diag:
+                w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+                p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+                xw_diag = jnp.where(xm, w_diag, 0.0)
+                z_parts += [p2s * xw_diag[t:t + 1, :] for t in range(Ti)]
 
-            l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
-            lz = jnp.concatenate(l_parts, axis=0)       # (Ti*S, chunk)
-            cur = mm(m_left_ref, m_left_lo_ref, lz)
-
-            for t in range(To):
-                cur += jnp.where(ym[t:t + 1, :],
-                                 out_ud[t * S:(t + 1) * S, :], 0.0)
+            cur = None
+            if z_parts:
+                z = jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1 \
+                    else z_parts[0]                 # (S + Ti*S, chunk)
+                out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+                cur = jnp.where(ym[0:1, :], out_ud[0 * S:1 * S, :], 0.0)
+                for t in range(1, To):
+                    cur += jnp.where(ym[t:t + 1, :],
+                                     out_ud[t * S:(t + 1) * S, :], 0.0)
+            if has_left:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1c), 0.0)
+                xw_left = jnp.where(xm, w_left, 0.0)
+                l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
+                lz = jnp.concatenate(l_parts, axis=0)   # (Ti*S, chunk)
+                sl = mm(m_left_ref, m_left_lo_ref, lz)
+                cur = sl if cur is None else cur + sl
             # fresh chain start: cell (0,0) = closure column 0, scale 0
             cur = jnp.where(init_now[:, lo_c:hi_c], c0_ref[:], cur)
             p2_ref[:, lo_c:hi_c] = cur
@@ -1095,20 +1135,45 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         # closure folded into every neighbor matrix (cur = C@u distributes
         # over the per-token output blocks); up and diag share one wide dot
         closure64 = np.asarray(closure_p, np.float64)
-        cu_blocks = [closure64.T @ np.asarray(up_p[t], np.float64).T
-                     for t in range(To)]                       # (S, S) each
-        cd = np.zeros((To * S, Ti * S))
-        for to in range(To):
-            for ti in range(Ti):
-                cd[to * S:(to + 1) * S, ti * S:(ti + 1) * S] = \
-                    closure64.T @ np.asarray(diag_p[ti, to], np.float64).T
-        m_ud = np.concatenate(
-            [np.concatenate(cu_blocks, axis=0), cd], axis=1)   # (To*S, S+TiS)
-        m_left = np.concatenate(
-            [closure64.T @ np.asarray(left_p[t], np.float64).T
-             for t in range(Ti)], axis=1)                      # (S, Ti*S)
-        m_ud = np.ascontiguousarray(m_ud).astype(np.float32)
-        m_left = np.ascontiguousarray(m_left).astype(np.float32)
+        # compile-time class presence: absent transition classes are
+        # specialized out of the merged/chained kernels entirely
+        ztol = 1e-290
+        has_up = float(up_p.sum()) > ztol
+        has_left = float(left_p.sum()) > ztol
+        has_diag = float(diag_p.sum()) > ztol
+        if not (has_up or has_left or has_diag):
+            has_diag = True                      # degenerate: keep generic
+        classes = (has_up, has_left, has_diag)
+
+        def build_ud_left(Sa, c_aa):
+            """Merged matrices over the ACTIVE states, present classes
+            only. m_ud columns = [up S rows][diag Ti*S rows] matching the
+            kernels' z stacking; m_left absent -> tiny dummy (unused)."""
+            blocks = []
+            if has_up:
+                blocks.append(np.concatenate(
+                    [c_aa.T @ np.asarray(up_p[t, :Sa, :Sa], np.float64).T
+                     for t in range(To)], axis=0))      # (To*Sa, Sa)
+            if has_diag:
+                cd_a = np.zeros((To * Sa, Ti * Sa))
+                for to in range(To):
+                    for ti in range(Ti):
+                        cd_a[to * Sa:(to + 1) * Sa,
+                             ti * Sa:(ti + 1) * Sa] = \
+                            c_aa.T @ np.asarray(diag_p[ti, to, :Sa, :Sa],
+                                                np.float64).T
+                blocks.append(cd_a)
+            m_ud_a = np.concatenate(blocks, axis=1)
+            if has_left:
+                m_left_a = np.concatenate(
+                    [c_aa.T @ np.asarray(left_p[t, :Sa, :Sa], np.float64).T
+                     for t in range(Ti)], axis=1)       # (Sa, Ti*Sa)
+            else:
+                m_left_a = np.zeros((8, 128))
+            return (np.ascontiguousarray(m_ud_a).astype(np.float32),
+                    np.ascontiguousarray(m_left_a).astype(np.float32))
+
+        m_ud, m_left = build_ud_left(S, closure64)
         m_ud_hi, m_ud_lo = hi_lo(m_ud)
         m_left_hi, m_left_lo = hi_lo(m_left)
         if not split:
@@ -1116,6 +1181,23 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         c0 = np.ascontiguousarray(closure_t[:, 0:1]).astype(np.float32)
 
         if variant == "seqscale":
+            # seqscale keeps the generic full layout (its kernel body is
+            # not class-specialized)
+            cu_blocks = [closure64.T @ np.asarray(up_p[t], np.float64).T
+                         for t in range(To)]
+            cd = np.zeros((To * S, Ti * S))
+            for to in range(To):
+                for ti in range(Ti):
+                    cd[to * S:(to + 1) * S, ti * S:(ti + 1) * S] = \
+                        closure64.T @ np.asarray(diag_p[ti, to],
+                                                 np.float64).T
+            m_ud = np.concatenate(
+                [np.concatenate(cu_blocks, axis=0), cd], axis=1)
+            m_left = np.concatenate(
+                [closure64.T @ np.asarray(left_p[t], np.float64).T
+                 for t in range(Ti)], axis=1)
+            m_ud = np.ascontiguousarray(m_ud).astype(np.float32)
+            m_left = np.ascontiguousarray(m_left).astype(np.float32)
             def bf_split(m):
                 hi = np.asarray(jnp.asarray(m).astype(jnp.bfloat16))
                 lo = np.asarray(jnp.asarray(m - hi.astype(np.float32))
@@ -1195,21 +1277,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             c_ae = np.asarray(closure_p[:Sa, S - 1], np.float64)
             w_vec = np.linalg.solve(c_aa, c_ae).reshape(Sa, 1) \
                 .astype(np.float32)
-            cu_a = [c_aa.T @ np.asarray(up_p[t, :Sa, :Sa], np.float64).T
-                    for t in range(To)]
-            cd_a = np.zeros((To * Sa, Ti * Sa))
-            for to in range(To):
-                for ti in range(Ti):
-                    cd_a[to * Sa:(to + 1) * Sa, ti * Sa:(ti + 1) * Sa] = \
-                        c_aa.T @ np.asarray(diag_p[ti, to, :Sa, :Sa],
-                                            np.float64).T
-            m_ud = np.concatenate(
-                [np.concatenate(cu_a, axis=0), cd_a], axis=1)
-            m_left = np.concatenate(
-                [c_aa.T @ np.asarray(left_p[t, :Sa, :Sa], np.float64).T
-                 for t in range(Ti)], axis=1)
-            m_ud = np.ascontiguousarray(m_ud).astype(np.float32)
-            m_left = np.ascontiguousarray(m_left).astype(np.float32)
+            m_ud, m_left = build_ud_left(Sa, c_aa)
             m_ud_hi, m_ud_lo = hi_lo(m_ud)
             m_left_hi, m_left_lo = hi_lo(m_left)
             if not split:
@@ -1223,7 +1291,8 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             n_steps_ch = (n_abs + 1) // 2
             kernel_ch = functools.partial(
                 _chained_kernel, Ti, To, S_k, B, W, Li, Lo, n_chunks,
-                precision, split, rescale_every, sink, n_chain, sigma)
+                precision, split, rescale_every, sink, classes, n_chain,
+                sigma)
             call_ch = pl.pallas_call(
                 kernel_ch,
                 grid=(n_steps_ch,),
@@ -1287,7 +1356,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
 
         kernel = functools.partial(_merged_kernel, Ti, To, S_k, B, W, Li,
                                    Lo, n_chunks, precision, split,
-                                   rescale_every, sink)
+                                   rescale_every, sink, classes)
         n_steps = (Li + Lo) // 2 + 1
         call = pl.pallas_call(
             kernel,

@@ -269,3 +269,141 @@ def backward_2d_sparse(sm: SparseMachine, in_toks, out_toks, viterbi=False):
 def viterbi_2d_sparse(sm: SparseMachine, in_toks, out_toks):
     """Sparse 2D Viterbi (max-plus) via the Backward fill."""
     return backward_2d_sparse(sm, in_toks, out_toks, viterbi=True)
+
+
+# ---------------------------------------------------------------------------
+# PSWM (profile) inputs x SPARSE machines — completes the reference's
+# {TOK, PSWM} x {1D, 2D} x {DENSE, SPARSE} variant grid
+# (ref python/machineboss/jax/API.md:6-29; SPARSE+OPTIMAL excluded there
+# too). A PSWM row is (n_tok+1,) log weights, col 0 = epsilon skip: the
+# position's contribution is the weight-mixed combination of the
+# token-conditioned COO classes plus an identity 'skip' term, exactly the
+# sparse analog of ops/pswm.pswm_transfer_matrices.
+# ---------------------------------------------------------------------------
+
+
+def _pswm_mix_1d(sm, cell, pswm_row, output_side, viterbi):
+    """Weighted combine over this position's token classes + eps skip."""
+    comb = _combine(viterbi)
+    out = cell + pswm_row[0]                       # eps: skip the position
+    n_tok = pswm_row.shape[0] - 1
+    for t in range(1, n_tok + 1):
+        key = (0, t) if output_side else (t, 0)
+        if key in sm.classes:
+            out = comb(out, _class_contrib(sm, cell, key, viterbi)
+                       + pswm_row[t])
+    return out
+
+
+def forward_1d_sparse_pswm(sm: SparseMachine, pswm, output_side=True,
+                           viterbi=False):
+    """Sparse 1D Forward/Viterbi over a PSWM profile ((L, n_tok+1) log
+    weights, col 0 = eps). One-hot rows reduce exactly to
+    forward_1d_sparse on the corresponding token sequence."""
+    S = sm.n_states
+    pswm = jnp.asarray(pswm)
+
+    @jax.jit
+    def run():
+        cell = jnp.full((S,), NEG_INF, jnp.float32).at[0].set(0.0)
+        sil = _apply_silent_vit if viterbi else SparseMachine.apply_silent
+        cell = sil(sm, cell)
+        for p in range(pswm.shape[0]):
+            cell = sil(sm, _pswm_mix_1d(sm, cell, pswm[p], output_side,
+                                        viterbi))
+        return cell[S - 1]
+
+    return float(run())
+
+
+def backward_1d_sparse_pswm(sm: SparseMachine, pswm, output_side=True,
+                            viterbi=False):
+    """Sparse 1D Backward over a PSWM profile (reverse traversal); total
+    equals Forward."""
+    S = sm.n_states
+    rev = SparseMachineRev(sm)
+    comb = _combine(viterbi)
+    pswm = jnp.asarray(pswm)
+
+    @jax.jit
+    def run():
+        cell = jnp.full((S,), NEG_INF, jnp.float32).at[S - 1].set(0.0)
+        cell = rev.apply_silent(cell, viterbi)
+        for p in range(pswm.shape[0] - 1, -1, -1):
+            row = pswm[p]
+            nxt = cell + row[0]
+            n_tok = row.shape[0] - 1
+            for t in range(1, n_tok + 1):
+                key = (0, t) if output_side else (t, 0)
+                if key in sm.classes:
+                    nxt = comb(nxt, rev.class_contrib(cell, key, viterbi)
+                               + row[t])
+            cell = rev.apply_silent(nxt, viterbi)
+        return cell[0]
+
+    return float(run())
+
+
+def forward_2d_sparse_pswm(sm: SparseMachine, in_pswm, out_pswm,
+                           viterbi=False):
+    """Sparse 2D Forward/Viterbi with PSWM profiles on both tapes.
+
+    in_pswm: (Li, Ti+1) log weights; out_pswm: (Lo, To+1); col 0 = eps
+    skip on that tape (matches ops/pswm.forward_2d_pswm: left/up mixes
+    include the eps-identity, the diag mix does not)."""
+    S = sm.n_states
+    in_pswm = jnp.asarray(in_pswm)
+    out_pswm = jnp.asarray(out_pswm)
+    Li = int(in_pswm.shape[0])
+    Lo = int(out_pswm.shape[0])
+    Ti = int(in_pswm.shape[1]) - 1 if Li else 0
+    To = int(out_pswm.shape[1]) - 1 if Lo else 0
+    comb = _combine(viterbi)
+
+    @jax.jit
+    def run():
+        neg = jnp.full((S,), NEG_INF, jnp.float32)
+        sil = _apply_silent_vit if viterbi else SparseMachine.apply_silent
+
+        def make_row(prev_row, o_row):
+            cells = []
+            for i in range(Li + 1):
+                c = neg
+                if prev_row is None and i == 0:
+                    c = c.at[0].set(0.0)
+                if prev_row is not None:
+                    # up: output-token mix + eps skip of the output row
+                    up = prev_row[i] + o_row[0]
+                    for t in range(1, To + 1):
+                        if (0, t) in sm.classes:
+                            up = comb(up, _class_contrib(
+                                sm, prev_row[i], (0, t), viterbi) + o_row[t])
+                    c = comb(c, up)
+                    if i > 0:
+                        # diag: both tokens consumed (no eps)
+                        for ti in range(1, Ti + 1):
+                            for to in range(1, To + 1):
+                                if (ti, to) in sm.classes:
+                                    c = comb(c, _class_contrib(
+                                        sm, prev_row[i - 1], (ti, to),
+                                        viterbi)
+                                        + in_pswm[i - 1, ti] + o_row[to])
+                if i > 0:
+                    # left: input-token mix + eps skip of the input row
+                    lf = cells[i - 1] + in_pswm[i - 1, 0]
+                    for t in range(1, Ti + 1):
+                        if (t, 0) in sm.classes:
+                            lf = comb(lf, _class_contrib(
+                                sm, cells[i - 1], (t, 0), viterbi)
+                                + in_pswm[i - 1, t])
+                    c = comb(c, lf)
+                c = sil(sm, c)
+                cells.append(c)
+            return jnp.stack(cells)
+
+        row = make_row(None, None)
+        for o in range(1, Lo + 1):
+            row = make_row(row, out_pswm[o - 1])
+        return row[Li, S - 1]
+
+    return float(run())

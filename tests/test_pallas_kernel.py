@@ -152,6 +152,65 @@ def test_host_oracle_matches_dp_host():
         assert abs(ref - got) < 2e-5
 
 
+def build_indel_transducer(n_states, alphabet, seed=13):
+    """Transducer with ONLY input-consuming and output-emitting transitions
+    (no in+out "diag" class) — exercises the has_diag=False kernel
+    specialization (prot2dna has the same class signature)."""
+    rng = np.random.RandomState(seed)
+    states = []
+    for s in range(n_states + 1):
+        if s == n_states:
+            states.append({"id": "End", "trans": []})
+            continue
+        trans = []
+        for sym in alphabet:
+            trans.append({"in": sym, "to": int(rng.randint(0, n_states)),
+                          "weight": round(float(rng.uniform(0.1, 0.5)), 4)})
+            trans.append({"out": sym, "to": int(rng.randint(0, n_states)),
+                          "weight": round(float(rng.uniform(0.1, 0.5)), 4)})
+        trans.append({"to": n_states,
+                      "weight": round(float(rng.uniform(0.01, 0.1)), 4)})
+        states.append({"id": "S%d" % s, "trans": trans})
+    return Machine.from_json({"state": states})
+
+
+def test_pallas_class_specialization_interpret():
+    """Class-presence specialization: left+up-only machine (no diag class)
+    through merged and chained vs host oracle."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    alphabet = list("ACGT")
+    m = build_indel_transducer(6, alphabet)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    ad, al, au, cl = (np.asarray(x) for x in lm.matrices_2d())
+    assert float(np.exp(np.asarray(ad, np.float64)).sum()) == 0.0 or \
+        float(np.where(ad > -1e29, 1.0, 0.0).sum()) == 0.0, \
+        "machine unexpectedly has diag transitions"
+    B, L = 6, 6
+    rng = np.random.RandomState(4)
+    it = rng.randint(0, 4, (B, L)).astype(np.int32)
+    ot = rng.randint(0, 4, (B, L)).astype(np.int32)
+    il = np.full(B, L, np.int32)
+    ol = np.full(B, L, np.int32)
+    hosts = []
+    for n in range(B):
+        sp = SeqPair(NamedSeq("i", [alphabet[t] for t in it[n]]),
+                     NamedSeq("o", [alphabet[t] for t in ot[n]]))
+        hosts.append(ForwardMatrix(ev, sp).log_like())
+    hosts = np.array(hosts)
+    for variant, chain in ((None, None), ("chained", 3)):
+        for split in (False, True):
+            fwd = make_wavefront_forward(ad, al, au, cl, B, L, L,
+                                         interpret=True, split=split,
+                                         merged=True, variant=variant,
+                                         chain=chain)
+            dev = np.array(fwd(jnp.array(it), jnp.array(ot),
+                               jnp.array(il), jnp.array(ol)))
+            err = np.abs(dev - hosts).max()
+            assert err < TOL, (variant, split, err)
+
+
 def test_pallas_wavefront_chained_interpret():
     """Chained (sequence-packed) variant vs host oracle, uniform lengths."""
     import sys

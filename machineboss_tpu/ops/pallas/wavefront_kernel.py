@@ -79,8 +79,19 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
     (the reference benchmark grid machine) is diag-only: the wide dot
     shrinks from (To*S, S+Ti*S) to (To*S, Ti*S) and the whole left matmul
     disappears (~1.5x fewer MXU FLOPs, plus the w_up/w_left exp/roll VPU
-    passes)."""
+    passes).
+
+    When the left class coexists with up/diag ("unified" mode), the left
+    term is folded into the SAME wide dot instead of a second matmul: the
+    output gains a (To+1)-th block that carries ONLY the left term (for
+    cells with no output token, o = 0), the left columns are replicated
+    into every output block, and the per-cell selection uses the extended
+    one-hot [yoh, 1-sum(yoh)]. One dot per chunk for every class mix —
+    and it sidesteps a Mosaic miscompile observed when the separate left
+    matmul coexisted with the wide dot (all-classes machines at L>=200
+    returned -1e30 for every pair on the 2026-08 TPU runtime)."""
     has_up, has_left, has_diag = classes
+    unify = has_left and (has_up or has_diag)
     s_id = pl.program_id(0)
     cells = B * W
     chunk = cells // n_chunks
@@ -163,16 +174,25 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                 p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
                 xw_diag = xoh_c * w_diag
                 z_parts += [p2s * xw_diag[t:t + 1, :] for t in range(Ti)]
+            if has_left and unify:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1c), 0.0)
+                xw_left = xoh_c * w_left
+                z_parts += [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
 
             cur = None
             if z_parts:
                 z = jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1 \
-                    else z_parts[0]                 # (S + Ti*S, chunk)
+                    else z_parts[0]              # (S + 2*Ti*S, chunk) max
                 out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
                 cur = out_ud[0 * S:1 * S, :] * yoh_c[0:1, :]
                 for t in range(1, To):
                     cur += out_ud[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
-            if has_left:
+                if unify:
+                    # block To = left-only output for no-y-token cells
+                    ynone = 1.0 - jnp.sum(yoh_c, axis=0, keepdims=True)
+                    cur += out_ud[To * S:(To + 1) * S, :] * ynone
+            if has_left and not unify:
                 w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
                 p1s = jnp.where(bnd, rollc(p1c), 0.0)
                 xw_left = xoh_c * w_left
@@ -254,8 +274,9 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
 
     Requires uniform sequence lengths (Li, Lo) across the batch.
     `classes` = (has_up, has_left, has_diag) compile-time specialization,
-    as in _merged_kernel."""
+    with the same unified left-folding as _merged_kernel."""
     has_up, has_left, has_diag = classes
+    unify = has_left and (has_up or has_diag)
     s_id = pl.program_id(0)
     cells = B * W
     chunk = cells // n_chunks
@@ -355,17 +376,28 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
                 p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
                 xw_diag = jnp.where(xm, w_diag, 0.0)
                 z_parts += [p2s * xw_diag[t:t + 1, :] for t in range(Ti)]
+            if has_left and unify:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1c), 0.0)
+                xw_left = jnp.where(xm, w_left, 0.0)
+                z_parts += [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
 
             cur = None
             if z_parts:
                 z = jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1 \
-                    else z_parts[0]                 # (S + Ti*S, chunk)
+                    else z_parts[0]              # (S + 2*Ti*S, chunk) max
                 out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
                 cur = jnp.where(ym[0:1, :], out_ud[0 * S:1 * S, :], 0.0)
                 for t in range(1, To):
                     cur += jnp.where(ym[t:t + 1, :],
                                      out_ud[t * S:(t + 1) * S, :], 0.0)
-            if has_left:
+                if unify:
+                    ynone = ~(ym[0:1, :])
+                    for t in range(1, To):
+                        ynone = ynone & ~(ym[t:t + 1, :])
+                    cur += jnp.where(ynone,
+                                     out_ud[To * S:(To + 1) * S, :], 0.0)
+            if has_left and not unify:
                 w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
                 p1s = jnp.where(bnd, rollc(p1c), 0.0)
                 xw_left = jnp.where(xm, w_left, 0.0)
@@ -1145,26 +1177,45 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
             has_diag = True                      # degenerate: keep generic
         classes = (has_up, has_left, has_diag)
 
+        unify = has_left and (has_up or has_diag)
+
         def build_ud_left(Sa, c_aa):
             """Merged matrices over the ACTIVE states, present classes
-            only. m_ud columns = [up S rows][diag Ti*S rows] matching the
-            kernels' z stacking; m_left absent -> tiny dummy (unused)."""
-            blocks = []
+            only. m_ud row blocks = one per output token (+1 "no output
+            token" block when unified); columns = [up Sa][diag Ti*Sa]
+            [left Ti*Sa (unified only)] matching the kernels' z stacking.
+            Separate m_left only for left-only machines."""
+            n_blk = To + 1 if unify else To
+            col_groups = []
             if has_up:
-                blocks.append(np.concatenate(
-                    [c_aa.T @ np.asarray(up_p[t, :Sa, :Sa], np.float64).T
-                     for t in range(To)], axis=0))      # (To*Sa, Sa)
+                g = np.zeros((n_blk * Sa, Sa))
+                for t in range(To):
+                    g[t * Sa:(t + 1) * Sa] = \
+                        c_aa.T @ np.asarray(up_p[t, :Sa, :Sa], np.float64).T
+                col_groups.append(g)
             if has_diag:
-                cd_a = np.zeros((To * Sa, Ti * Sa))
+                g = np.zeros((n_blk * Sa, Ti * Sa))
                 for to in range(To):
                     for ti in range(Ti):
-                        cd_a[to * Sa:(to + 1) * Sa,
-                             ti * Sa:(ti + 1) * Sa] = \
+                        g[to * Sa:(to + 1) * Sa,
+                          ti * Sa:(ti + 1) * Sa] = \
                             c_aa.T @ np.asarray(diag_p[ti, to, :Sa, :Sa],
                                                 np.float64).T
-                blocks.append(cd_a)
-            m_ud_a = np.concatenate(blocks, axis=1)
-            if has_left:
+                col_groups.append(g)
+            if unify:
+                # left term rides every output block (the y selection sums
+                # to exactly one picked block per cell)
+                g = np.zeros((n_blk * Sa, Ti * Sa))
+                for rb in range(n_blk):
+                    for ti in range(Ti):
+                        g[rb * Sa:(rb + 1) * Sa,
+                          ti * Sa:(ti + 1) * Sa] = \
+                            c_aa.T @ np.asarray(left_p[ti, :Sa, :Sa],
+                                                np.float64).T
+                col_groups.append(g)
+            m_ud_a = np.concatenate(col_groups, axis=1) if col_groups \
+                else np.zeros((8, 128))                 # left-only machine
+            if has_left and not unify:
                 m_left_a = np.concatenate(
                     [c_aa.T @ np.asarray(left_p[t, :Sa, :Sa], np.float64).T
                      for t in range(Ti)], axis=1)       # (Sa, Ti*Sa)

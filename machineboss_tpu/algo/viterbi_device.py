@@ -55,20 +55,25 @@ class DeviceViterbiMatrix(DPMatrix):
         return self.traceback(machine)
 
 
-def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32):
+def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
+                            engine="auto", interpret=False):
     """Batched device Viterbi fill for a list of tokenizable SeqPairs.
 
     ONE batched MAXPLUS wavefront call (padded to the max lengths) fills
     every pair's value lattice on device; per-pair matrices share the
     compiled kernel instead of recompiling per length pair. Returns
-    [DeviceViterbiMatrix, ...] aligned with seq_pairs."""
+    [DeviceViterbiMatrix, ...] aligned with seq_pairs.
+
+    engine: 'pallas' = the VMEM-resident Pallas MAXPLUS kernel
+    (ops/pallas/viterbi_kernel.py), 'wavefront' = the jnp diagonal engine,
+    'auto' = pallas on TPU backends, jnp elsewhere."""
+    import jax
     import jax.numpy as jnp
     from ..ops.wavefront import (wavefront_2d_diagonals,
                                  lattice_from_diagonals)
     from ..ops.semiring import MAXPLUS
 
     lm = lowered if lowered is not None else LoweredMachine(ev, dtype=dtype)
-    mats = tuple(jnp.array(x) for x in lm.matrices_2d("maxplus"))
     tok_in = [np.array(ev.input_tokenizer.tokenize(sp.input.seq),
                        np.int32) - 1 for sp in seq_pairs]
     tok_out = [np.array(ev.output_tokenizer.tokenize(sp.output.seq),
@@ -81,8 +86,19 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32):
     for b in range(B):
         it[b, :len(tok_in[b])] = tok_in[b]
         ot[b, :len(tok_out[b])] = tok_out[b]
-    diags = wavefront_2d_diagonals(*mats, jnp.array(it), jnp.array(ot),
-                                   sr=MAXPLUS)
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() not in ("cpu",) \
+            else "wavefront"
+    host_mats = tuple(np.asarray(x) for x in lm.matrices_2d("maxplus"))
+    if engine == "pallas":
+        from ..ops.pallas.viterbi_kernel import make_wavefront_viterbi
+        vit = make_wavefront_viterbi(*host_mats, B, Li, Lo,
+                                     interpret=interpret)
+        diags = vit(jnp.array(it), jnp.array(ot))
+    else:
+        mats = tuple(jnp.array(x) for x in host_mats)
+        diags = wavefront_2d_diagonals(*mats, jnp.array(it), jnp.array(ot),
+                                       sr=MAXPLUS)
     lat = lattice_from_diagonals(diags, Li, Lo)       # (B, Li+1, Lo+1, S)
     out = []
     for b, sp in enumerate(seq_pairs):

@@ -157,9 +157,14 @@ class CompiledMachine:
             if pkey not in self._cache:
                 from .ops.pallas.wavefront_kernel import \
                     make_wavefront_forward
+                # merged=True routes to the class-specialized unified
+                # kernel; the generic (merged=False) variant is known to
+                # miscompile on the 2026-08 TPU runtime for all-class
+                # machines at L>=200 (see _merged_kernel docstring) and is
+                # kept only as an explicit opt-out for debugging
                 self._cache[pkey] = make_wavefront_forward(
                     np.array(a_diag), np.array(a_left), np.array(a_up),
-                    np.array(closure), B, Li, Lo)
+                    np.array(closure), B, Li, Lo, merged=True)
             fn = self._cache[pkey]
         else:
             from .ops.wavefront_fast import forward_2d_wavefront_fast

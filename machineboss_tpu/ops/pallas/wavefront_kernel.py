@@ -949,8 +949,21 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
     variant="chained" (with `chain` = sequences per lane window, B must be
     a multiple) packs `chain` staggered sequences into each W-lane window
     for ~2x lane occupancy; it requires UNIFORM lengths (in_lens == Li,
-    out_lens == Lo for every sequence; the length args are ignored)."""
+    out_lens == Lo for every sequence; the length args are ignored).
+
+    variant="lowrank" (optionally with `chain`) delegates to the
+    closure-folded, state-pruned, min-rank factored kernel
+    (lowrank_kernel.py) — the fastest path for structured machines like
+    prot2dna."""
     import math as _math
+    if variant == "lowrank":
+        from .lowrank_kernel import make_lowrank_forward
+        return make_lowrank_forward(a_diag, a_left, a_up, closure, B, Li,
+                                    Lo, precision=precision,
+                                    n_chunks=n_chunks, interpret=interpret,
+                                    split=split,
+                                    rescale_every=rescale_every,
+                                    chain=chain)
     Ti, To, S, _ = a_diag.shape
     n_chain = 1
     if variant == "chained":
@@ -1174,7 +1187,10 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
         has_left = float(left_p.sum()) > ztol
         has_diag = float(diag_p.sum()) > ztol
         if not (has_up or has_left or has_diag):
-            has_diag = True                      # degenerate: keep generic
+            # degenerate (no symbol transitions): force the UP class, whose
+            # kernel path needs no token masks — forcing diag would emit an
+            # empty z stack when Ti == 0 and crash at trace time
+            has_up = True
         classes = (has_up, has_left, has_diag)
 
         unify = has_left and (has_up or has_diag)

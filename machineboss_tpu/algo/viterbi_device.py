@@ -45,6 +45,8 @@ class DeviceViterbiMatrix(DPMatrix):
         else:
             # fill_fn contract: (Li+1, Lo+1, S)
             lattice = np.asarray(fill_fn(it0, ot0))
+        from ..utils.debug import check_finite
+        check_finite("device_viterbi_lattice", lattice)
         self.cell[...] = np.maximum(np.asarray(lattice, np.float64),
                                     NEG_INF)
 

@@ -18,6 +18,7 @@ from .core.eval import EvaluatedMachine
 from .core.params import Params
 from .ops.lowering import LoweredMachine
 from .ops.semiring import LOGSUMEXP, MAXPLUS
+from .utils.debug import check_finite
 
 DENSE_MAX_STATES = 512
 
@@ -79,9 +80,11 @@ class CompiledMachine:
             key = "sparse"
             if key not in self._cache:
                 self._cache[key] = sparse_mod.SparseMachine(self.ev)
-            return sparse_mod.forward_2d_sparse(
-                self._cache[key],
-                [t + 1 for t in it], [t + 1 for t in ot])
+            return check_finite("forward_2d_sparse",
+                                sparse_mod.forward_2d_sparse(
+                                    self._cache[key],
+                                    [t + 1 for t in it],
+                                    [t + 1 for t in ot]))
 
         if strat in ("scan", "assoc"):
             out_side = self.machine.input_empty()
@@ -96,7 +99,8 @@ class CompiledMachine:
             toks = jnp.array(ot if out_side else it, jnp.int32)
             fn = dp1d.forward_1d_assoc if strat == "assoc" \
                 else dp1d.forward_1d_scan
-            return float(fn(trans, closure, toks, len(toks), sr=sr))
+            return float(check_finite(
+                "forward_1d", fn(trans, closure, toks, len(toks), sr=sr)))
 
         sr_name = "maxplus" if viterbi else "logsumexp"
         key = ("2d", sr_name)
@@ -104,10 +108,10 @@ class CompiledMachine:
             self._cache[key] = tuple(jnp.array(x) for x in
                                      self.lowered.matrices_2d(sr_name))
         a_diag, a_left, a_up, closure = self._cache[key]
-        return float(dp2d.forward_2d(
+        return float(check_finite("forward_2d", dp2d.forward_2d(
             a_diag, a_left, a_up, closure,
             jnp.array(it, jnp.int32), jnp.array(ot, jnp.int32),
-            len(it), len(ot), sr=sr))
+            len(it), len(ot), sr=sr)))
 
     def log_viterbi(self, input_seq, output_seq, strategy="auto"):
         return self.log_forward(input_seq, output_seq, strategy,
@@ -173,8 +177,9 @@ class CompiledMachine:
                 return forward_2d_wavefront_fast(
                     a_diag, a_left, a_up, closure, i_t, o_t, i_l, o_l)
 
-        return np.array(fn(jnp.array(it), jnp.array(ot), jnp.array(il),
-                           jnp.array(ol)))
+        return check_finite("log_forward_batch",
+                            np.array(fn(jnp.array(it), jnp.array(ot),
+                                        jnp.array(il), jnp.array(ol))))
 
     def log_backward_lattice(self, input_seq, output_seq):
         import jax.numpy as jnp

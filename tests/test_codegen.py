@@ -96,14 +96,85 @@ def test_codegen_cpp_stutter_viterbi(tmp_path):
     assert got == golden, (got, golden)
 
 
-def test_codegen_js_and_wgsl_emit(tmp_path):
-    m = Machine.from_file(REF + "/t/machine/bitnoise.json")
-    js_dir = str(tmp_path / "js")
-    JavaScriptCompiler().compile_forward(m, SEQ_STRING, SEQ_STRING, js_dir)
-    assert os.path.exists(os.path.join(js_dir, "computeForward.js"))
-    wgsl_dir = str(tmp_path / "wgsl")
-    compile_wgsl(m, wgsl_dir)
-    assert os.path.exists(os.path.join(wgsl_dir, "computeForward.wgsl"))
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "golden", "codegen")
+
+
+def _emit_all(machine_name, tmp_path):
+    m = Machine.from_file(REF + "/t/machine/%s.json" % machine_name)
+    d = str(tmp_path / machine_name)
+    JavaScriptCompiler().compile_forward(m, SEQ_STRING, SEQ_STRING, d)
+    cv = JavaScriptCompiler()
+    cv.use_max_reduce = True
+    cv.compile_forward(m, SEQ_STRING, SEQ_STRING, d,
+                       func_name="computeViterbi")
+    compile_wgsl(m, d)
+    return d
+
+
+def test_codegen_js_wgsl_snapshots(tmp_path):
+    """Emitted JS/WGSL/mjs byte-match checked-in snapshots; any emitter
+    text change fails here and requires a deliberate golden regeneration
+    (scripts in tests/golden/codegen are produced by this very emitter)."""
+    for name in ("bitnoise", "bitstutter-noise"):
+        d = _emit_all(name, tmp_path)
+        for src, gold in (("computeForward.js", "%s-forward.js" % name),
+                          ("computeViterbi.js", "%s-viterbi.js" % name),
+                          ("computeForward.wgsl", "%s-forward.wgsl" % name),
+                          ("computeForward.mjs", "%s-forward.mjs" % name)):
+            got = open(os.path.join(d, src)).read()
+            want = open(os.path.join(GOLD, gold)).read()
+            assert got == want, "codegen snapshot drift: %s/%s" % (name, src)
+
+
+def test_codegen_js_executes_golden(tmp_path):
+    """EXECUTE the generated JS (transpiled; see js_exec.py — the
+    reference runs the same check under node, ref Makefile:561-625):
+    Forward and Viterbi log-likes must match the t/expect goldens."""
+    import json
+    from js_exec import run_generated_js
+    params = json.load(open(REF + "/t/io/params.json"))
+    cases = [
+        ("bitnoise", "101", "001", "101-bitnoise-001.json", None),
+        ("bitstutter-noise", "101", "0011",
+         "101-bitstutternoise-fwd-0011.json",
+         "101-bitstutternoise-vit-0011.json"),
+    ]
+    for name, xs, ys, fwd_gold, vit_gold in cases:
+        d = _emit_all(name, tmp_path)
+        x = [{"0": 1, "1": 2}[c] for c in xs]
+        y = [{"0": 1, "1": 2}[c] for c in ys]
+        js_f = open(os.path.join(d, "computeForward.js")).read()
+        ll = run_generated_js(js_f, x, y, params)
+        want = float(open(REF + "/t/expect/" + fwd_gold).read()
+                     .strip().strip("[]"))
+        assert abs(ll - want) < 5e-3, (name, ll, want)
+        if vit_gold is not None:
+            js_v = open(os.path.join(d, "computeViterbi.js")).read()
+            lv = run_generated_js(js_v, x, y, params,
+                                  func_name="computeViterbi")
+            wantv = float(open(REF + "/t/expect/" + vit_gold).read()
+                          .strip().strip("[]"))
+            assert abs(lv - wantv) < 5e-3, (name, lv, wantv)
+
+
+def test_codegen_wgsl_structural(tmp_path):
+    """The WGSL shader exposes the reference wavefront-shader interface
+    shape (ref js/webgpu/shaders/wavefront-forward.wgsl:9-23): per-
+    diagonal dispatch with a uniform diagonal index, storage buffers for
+    transitions/sequences/cells, a compute entry point, and an in-shader
+    log-sum-exp."""
+    d = _emit_all("bitstutter-noise", tmp_path)
+    wgsl = open(os.path.join(d, "computeForward.wgsl")).read()
+    assert "@compute" in wgsl and "@workgroup_size" in wgsl
+    assert wgsl.count("@group(0)") >= 5            # dims/trans/xs/ys/cells
+    assert "var<uniform>" in wgsl                  # per-diagonal params
+    assert wgsl.count("var<storage") >= 4
+    assert "read_write" in wgsl                    # the DP cell buffer
+    assert "fn lse(" in wgsl and "NEG_INF" in wgsl
+    assert "global_invocation_id" in wgsl          # one thread per cell
+    mjs = open(os.path.join(d, "computeForward.mjs")).read()
+    assert "export async function computeForward" in mjs  # ES module API
 
 
 def test_codegen_cpp_profile(tmp_path):

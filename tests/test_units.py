@@ -204,3 +204,23 @@ def test_counts_dump():
     counts = MachineCounts(ev, sp)
     golden = open(REF + "/t/expect/fwdback-bitnoise-params-tiny.json").read()
     assert counts.to_json_str() == golden
+
+
+def test_nan_check_hook(monkeypatch):
+    """MB_NAN_CHECK=1 turns host-boundary finiteness checks on
+    (ref src/logsumexp.h:15-18 nan_debug analog, utils/debug.py)."""
+    import numpy as np
+    import pytest
+    from machineboss_tpu.utils.debug import check_finite
+    arr = np.array([0.0, -np.inf])
+    # off by default: silently passes anything
+    monkeypatch.delenv("MB_NAN_CHECK", raising=False)
+    check_finite("x", np.array([np.nan]))
+    monkeypatch.setenv("MB_NAN_CHECK", "1")
+    assert check_finite("x", arr) is arr       # -inf = log zero, legal
+    with pytest.raises(FloatingPointError):
+        check_finite("x", np.array([np.nan]))
+    with pytest.raises(FloatingPointError):
+        check_finite("x", np.array([np.inf]))
+    with pytest.raises(FloatingPointError):
+        check_finite("x", arr, allow_neg_inf=False)

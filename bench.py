@@ -9,6 +9,12 @@ Workloads (BENCH_WORKLOAD):
            prot2dna preset (S=132, 20 aa inputs x 4 nt outputs) scoring
            protein/DNA pairs (ref Makefile:228-232 preset build;
            BASELINE.md "DP cells/s/chip (Forward, prot2dna composed)").
+  plan7    — fused Plan7 reads/s: fn3.hmm (86 nodes) x a batch of protein
+           reads through a noisy identity transducer, scored WITHOUT
+           materializing the composition (ref js/webgpu shaders/
+           fused-plan7-batch.wgsl capability). vs_baseline reports the
+           speedup of the prefix-product row solver over the
+           associative_scan solver measured in the same run.
 
 Every run gates accuracy: a subsample of the batch is re-scored by the
 float64 host oracle (ops/host_oracle.py) and the device kernel must agree
@@ -65,7 +71,12 @@ def build_random_transducer(n_states, alphabet, seed=42):
     return Machine.from_json({"state": states})
 
 
-def dense_workload(S, L, B):
+def _ragged_lens(rng, B, L):
+    """Realistic read-batch raggedness: uniform in [L/2, L]."""
+    return rng.randint(max(L // 2, 1), L + 1, B).astype(np.int32)
+
+
+def dense_workload(S, L, B, ragged=False):
     """(lowered tensors, token batch, Li, Lo) for the dense DNA config."""
     import jax.numpy as jnp
     from machineboss_tpu.core.eval import EvaluatedMachine
@@ -80,12 +91,14 @@ def dense_workload(S, L, B):
     rng = np.random.RandomState(0)
     in_toks = rng.randint(0, len(alphabet), (B, L)).astype(np.int32)
     out_toks = rng.randint(0, len(alphabet), (B, L)).astype(np.int32)
+    # the dense grid machine is diag-only (every transition consumes one
+    # input AND one output symbol), so a scoreable pair needs il == ol
+    il = _ragged_lens(rng, B, L) if ragged else np.full(B, L, np.int32)
     return tensors, (jnp.array(in_toks), jnp.array(out_toks),
-                     jnp.full((B,), L, jnp.int32),
-                     jnp.full((B,), L, jnp.int32)), L, L
+                     jnp.array(il), jnp.array(il)), L, L
 
 
-def prot2dna_workload(Lp, B, mutate=0.0):
+def prot2dna_workload(Lp, B, mutate=0.0, ragged=False):
     """prot2dna preset scoring random proteins against codon-translated DNA.
 
     mutate > 0 substitutes bases at that rate — prot2dna models sequencing
@@ -108,6 +121,7 @@ def prot2dna_workload(Lp, B, mutate=0.0):
     Lo = 3 * Lp
     it = np.zeros((B, Lp), np.int32)
     ot = np.zeros((B, Lo), np.int32)
+    il = _ragged_lens(rng, B, Lp) if ragged else np.full(B, Lp, np.int32)
     for b in range(B):
         prot = [aas[i] for i in rng.randint(0, len(aas), Lp)]
         dna = list("".join(CODONS[a] for a in prot))
@@ -117,8 +131,52 @@ def prot2dna_workload(Lp, B, mutate=0.0):
         it[b] = [in_tok[a] for a in prot]
         ot[b] = [out_tok[c] for c in dna]
     return tensors, (jnp.array(it), jnp.array(ot),
-                     jnp.full((B,), Lp, jnp.int32),
-                     jnp.full((B,), Lo, jnp.int32)), Lp, Lo
+                     jnp.array(il), jnp.array(3 * il)), Lp, Lo
+
+
+def plan7_workload_run(B, Lr, reps):
+    """Fused Plan7 batch scoring: returns (reads_per_s, speedup_vs_scan)."""
+    import time as _time
+    from machineboss_tpu.core.hmmer import HmmerModel
+    from machineboss_tpu.core.machine import Machine
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.fused_plan7 import Plan7Fused
+
+    hmm = HmmerModel.from_file("/root/reference/t/hmmer/fn3.hmm")
+    trans = []
+    for a in hmm.alph:
+        trans.append({"in": a, "out": a, "to": "loop", "weight": 0.03})
+        trans.append({"in": a, "to": "loop", "weight": 0.005})
+    trans.append({"out": hmm.alph[0], "to": "loop", "weight": 0.01})
+    trans.append({"to": "end", "weight": 0.28})
+    td = Machine.from_json({"state": [
+        {"id": "loop", "trans": trans}, {"id": "end", "trans": []}]})
+    td_ev = EvaluatedMachine(td, td.get_param_defs(True))
+
+    rng = np.random.RandomState(0)
+    reads = ["".join(hmm.alph[i] for i in rng.randint(0, len(hmm.alph), Lr))
+             for _ in range(B)]
+
+    def run(solver):
+        f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True,
+                       solver=solver)
+        out = f.forward_batch(reads)        # warmup + compile
+        assert np.all(np.isfinite(out)), "non-finite plan7 scores"
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            out2 = f.forward_batch(reads)
+            ts.append(_time.perf_counter() - t0)
+        return out, min(ts)
+
+    out_p, t_prefix = run("prefix")
+    out_s, t_scan = run("scan")
+    err = np.abs(out_p - out_s).max()
+    sys.stderr.write("plan7 gate: max |prefix - scan| = %.2e nats; "
+                     "prefix %.4fs scan %.4fs\n" % (err, t_prefix, t_scan))
+    if err > 0.01:
+        raise SystemExit("PLAN7 GATE FAILED: %.3e nats" % err)
+    return B / t_prefix, t_scan / t_prefix
 
 
 def accuracy_gate(tensors, batch, lls, n_check, tol=0.01):
@@ -167,18 +225,31 @@ def main():
     L = int(os.environ.get("BENCH_L", "200"))
     B = int(os.environ.get("BENCH_B", "512"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    n_check = int(os.environ.get("BENCH_CHECK", "2"))
+    n_check = int(os.environ.get("BENCH_CHECK", "8"))
 
+    if workload == "plan7":
+        Lr = int(os.environ.get("BENCH_LR", "90"))
+        B = int(os.environ.get("BENCH_B", "256"))
+        reads_per_s, speedup = plan7_workload_run(B, Lr, reps)
+        result = {"metric": "fused_plan7_reads_per_s_per_chip",
+                  "value": round(reads_per_s, 1), "unit": "reads/s",
+                  "vs_baseline": round(speedup, 3)}
+        print(json.dumps(result))
+        return result
+
+    ragged = os.environ.get("BENCH_RAGGED", "0") == "1"
     if workload == "prot2dna":
         Lp = int(os.environ.get("BENCH_LP", "64"))
         B = int(os.environ.get("BENCH_B", "256"))
-        tensors, batch, Li, Lo = prot2dna_workload(Lp, B)
+        tensors, batch, Li, Lo = prot2dna_workload(Lp, B, ragged=ragged)
         S_real = tensors[3].shape[0]
         metric = "forward_dp_state_cells_per_s_per_chip_prot2dna"
     else:
-        tensors, batch, Li, Lo = dense_workload(S, L, B)
+        tensors, batch, Li, Lo = dense_workload(S, L, B, ragged=ragged)
         S_real = tensors[3].shape[0]
         metric = "forward_dp_state_cells_per_s_per_chip"
+    if ragged:
+        metric += "_ragged"
 
     a_diag, a_left, a_up, closure = tensors
     in_toks, out_toks, in_lens, out_lens = batch
@@ -189,11 +260,21 @@ def main():
     split = os.environ.get("BENCH_SPLIT", "1") == "1"
     variant = os.environ.get("BENCH_VARIANT") or None
     if "BENCH_VARIANT" not in os.environ:
-        # measured defaults (PERF.md): chained packs ~2x lane occupancy on
-        # the uniform-length dense grid; factored exploits prot2dna's
-        # low-rank token structure
-        variant = "factored" if workload == "prot2dna" else "chained"
-    chain = int(os.environ.get("BENCH_CHAIN", "8"))
+        # measured defaults (PERF.md): lowrank (closure-folded, pruned,
+        # min-rank factored) is the flagship prot2dna kernel; chained
+        # packs ~2x lane occupancy on the uniform-length dense grid but
+        # requires uniform lengths, so ragged dense falls back to merged
+        if workload == "prot2dna":
+            variant = "lowrank"
+        else:
+            variant = None if ragged else "chained"
+    chain = int(os.environ.get("BENCH_CHAIN", "0")) or None
+    if chain is None and variant == "chained":
+        chain = 8
+    if ragged:
+        assert variant != "chained" and not (
+            variant == "lowrank" and chain), \
+            "chained variants need uniform lengths"
     run = None
     if engine == "pallas":
         try:
@@ -240,8 +321,14 @@ def main():
             times.append(time.perf_counter() - t0)
     t = min(times)
 
-    # state-cells: the reference counts (Li+1)(Lo+1) * S per pair
-    cells = B * (Li + 1) * (Lo + 1) * S_real
+    # state-cells: the reference counts (Li+1)(Lo+1) * S per pair; ragged
+    # batches count only each pair's REAL lattice (no padding credit)
+    if ragged:
+        il_h = np.asarray(in_lens, np.int64)
+        ol_h = np.asarray(out_lens, np.int64)
+        cells = int(((il_h + 1) * (ol_h + 1)).sum()) * S_real
+    else:
+        cells = B * (Li + 1) * (Lo + 1) * S_real
     cells_per_s = cells / t
     result = {
         "metric": metric,

@@ -79,7 +79,7 @@ class Plan7Fused:
     """
 
     def __init__(self, hmm, td_ev, mode="plan7", local=True, multihit=False,
-                 length=400.0, n_hit=3):
+                 length=400.0, n_hit=3, solver="auto"):
         self.hmm = hmm
         self.td_ev = td_ev
         self.mode = mode
@@ -192,6 +192,32 @@ class Plan7Fused:
             a_mat[k, 0:St, 2 * St:] = sc["m_to_d"][k - 1] + eye_log
             a_mat[k, 2 * St:, 2 * St:] = sc["d_to_d"][k - 1] + eye_log
 
+        # ---- prefix-product row solver ("prefix"): the along-k affine
+        # recurrence carry_k = b_k (+) carry_{k-1} A_k has CONSTANT
+        # matrices, so its full solution carry_k = (+)_{j<=k} b_j P_{j->k}
+        # (P_{j->k} = A_{j+1}...A_k, P_{k->k} = I) is ONE dense semiring
+        # matmul against a host-precomputed lower-block-triangular
+        # (K*3St, K*3St) matrix — replacing the O(log K) ladder of tiny
+        # (3St, 3St) matmuls (associative_scan) with a single MXU-shaped
+        # product that batches perfectly over reads. "scan" keeps the
+        # associative_scan (used when the prefix matrix would be too big).
+        D3 = 3 * St
+        if solver == "auto":
+            solver = "prefix" if K * D3 <= 4096 else "scan"
+        self._solver = solver
+        if solver == "prefix":
+            eye3 = _np_log(np.eye(D3))
+            pref = np.full((K, K, D3, D3), NEG_INF)
+            for k in range(K):
+                pref[k, k] = eye3
+            for k in range(1, K):
+                for jj in range(k):
+                    pref[jj, k] = _np_log_matmul(pref[jj, k - 1], a_mat[k])
+            t_tri = np.ascontiguousarray(
+                pref.transpose(0, 2, 1, 3).reshape(K * D3, K * D3))
+        else:
+            t_tri = np.zeros((1, 1))
+
         # per-output-token paired-emission tensors, hoisted out of the row
         # scan: emy_all[y] = lse_a(m_emit[:,a] + T_{a,y}) depends only on
         # the row's output token, and n_out is small (DNA reads: 5), so
@@ -220,6 +246,7 @@ class Plan7Fused:
             "eins00": jnp.array(eins00, f32),
             "ci": jnp.array(ci, f32), "ci00": jnp.array(ci00, f32),
             "a_mat": jnp.array(a_mat, f32),
+            "t_tri": jnp.array(t_tri, f32),
             "m_emit": jnp.array(m_emit, f32),
             "i_emit": jnp.array(i_emit, f32),
             "null_emit": jnp.array(null_emit, f32),
@@ -276,14 +303,18 @@ class Plan7Fused:
             b_d = b_d.at[0].set(self.b_to_d1 + B_hot)
         b = jnp.concatenate([b_mx, b_ix, b_d], axis=-1)       # (K, 3St)
 
-        def combine(left, right):
-            a1, b1 = left
-            a2, b2 = right
-            return (SR.matmul(a1, a2),
-                    SR.add(SR.matmul(b1[:, None, :], a2)[:, 0, :], b2))
+        if self._solver == "prefix":
+            carry = SR.vecmat(b.reshape(K * 3 * St),
+                              j["t_tri"]).reshape(K, 3 * St)
+        else:
+            def combine(left, right):
+                a1, b1 = left
+                a2, b2 = right
+                return (SR.matmul(a1, a2),
+                        SR.add(SR.matmul(b1[:, None, :], a2)[:, 0, :], b2))
 
-        _, carry = jax.lax.associative_scan(combine, (j["a_mat"], b),
-                                            axis=0)
+            _, carry = jax.lax.associative_scan(combine, (j["a_mat"], b),
+                                                axis=0)
         mx_hot = carry[:, 0:St]
         ix_hot = carry[:, St:2 * St]
         d_hot = carry[:, 2 * St:]

@@ -52,6 +52,12 @@ _TD = {"state": [
     {"id": "end", "trans": []}]}
 
 
+# noisy protein identity transducer (fn3 alphabet)
+_TD_PROT = {"state": [
+    {"id": "loop", "trans": [{'in': 'A', 'out': 'A', 'to': 'loop', 'weight': 0.03}, {'in': 'A', 'to': 'loop', 'weight': 0.005}, {'in': 'C', 'out': 'C', 'to': 'loop', 'weight': 0.03}, {'in': 'C', 'to': 'loop', 'weight': 0.005}, {'in': 'D', 'out': 'D', 'to': 'loop', 'weight': 0.03}, {'in': 'D', 'to': 'loop', 'weight': 0.005}, {'in': 'E', 'out': 'E', 'to': 'loop', 'weight': 0.03}, {'in': 'E', 'to': 'loop', 'weight': 0.005}, {'in': 'F', 'out': 'F', 'to': 'loop', 'weight': 0.03}, {'in': 'F', 'to': 'loop', 'weight': 0.005}, {'in': 'G', 'out': 'G', 'to': 'loop', 'weight': 0.03}, {'in': 'G', 'to': 'loop', 'weight': 0.005}, {'in': 'H', 'out': 'H', 'to': 'loop', 'weight': 0.03}, {'in': 'H', 'to': 'loop', 'weight': 0.005}, {'in': 'I', 'out': 'I', 'to': 'loop', 'weight': 0.03}, {'in': 'I', 'to': 'loop', 'weight': 0.005}, {'in': 'K', 'out': 'K', 'to': 'loop', 'weight': 0.03}, {'in': 'K', 'to': 'loop', 'weight': 0.005}, {'in': 'L', 'out': 'L', 'to': 'loop', 'weight': 0.03}, {'in': 'L', 'to': 'loop', 'weight': 0.005}, {'in': 'M', 'out': 'M', 'to': 'loop', 'weight': 0.03}, {'in': 'M', 'to': 'loop', 'weight': 0.005}, {'in': 'N', 'out': 'N', 'to': 'loop', 'weight': 0.03}, {'in': 'N', 'to': 'loop', 'weight': 0.005}, {'in': 'P', 'out': 'P', 'to': 'loop', 'weight': 0.03}, {'in': 'P', 'to': 'loop', 'weight': 0.005}, {'in': 'Q', 'out': 'Q', 'to': 'loop', 'weight': 0.03}, {'in': 'Q', 'to': 'loop', 'weight': 0.005}, {'in': 'R', 'out': 'R', 'to': 'loop', 'weight': 0.03}, {'in': 'R', 'to': 'loop', 'weight': 0.005}, {'in': 'S', 'out': 'S', 'to': 'loop', 'weight': 0.03}, {'in': 'S', 'to': 'loop', 'weight': 0.005}, {'in': 'T', 'out': 'T', 'to': 'loop', 'weight': 0.03}, {'in': 'T', 'to': 'loop', 'weight': 0.005}, {'in': 'V', 'out': 'V', 'to': 'loop', 'weight': 0.03}, {'in': 'V', 'to': 'loop', 'weight': 0.005}, {'in': 'W', 'out': 'W', 'to': 'loop', 'weight': 0.03}, {'in': 'W', 'to': 'loop', 'weight': 0.005}, {'in': 'Y', 'out': 'Y', 'to': 'loop', 'weight': 0.03}, {'in': 'Y', 'to': 'loop', 'weight': 0.005}, {'out': 'A', 'to': 'loop', 'weight': 0.01}, {'out': 'G', 'to': 'loop', 'weight': 0.01}, {'to': 'end', 'weight': 0.28}]},
+    {"id": "end", "trans": []}]}
+
+
 def _oracle(gen, td, out_seq):
     comp = Machine.compose(gen, td)
     ev = EvaluatedMachine(comp, comp.get_param_defs(True))
@@ -112,3 +118,23 @@ def test_fused_plan7_forward_batch():
     for n, s in enumerate(seqs):
         single = fused.forward(s)
         assert abs(batch[n] - single) < 1e-4, (n, single, batch[n])
+
+
+def test_fused_prefix_solver_matches_scan_fn3():
+    """The prefix-product row solver (one dense semiring matmul against
+    the precomputed lower-block-triangular transfer matrix) equals the
+    associative_scan solver on a real 86-node profile (fn3.hmm)."""
+    from conftest import REF
+    hmm = HmmerModel.from_file(REF + "/t/hmmer/fn3.hmm")
+    td = Machine.from_json(_TD_PROT)
+    td_ev = EvaluatedMachine(td, td.get_param_defs(True))
+    seq = "ACDEFGHIKLMNPQRSTVWYACDEFG"
+    for mode, multihit in (("plan7", False), ("plan7", True),
+                           ("core", False)):
+        f_scan = Plan7Fused(hmm, td_ev, mode=mode, multihit=multihit,
+                            solver="scan")
+        f_pref = Plan7Fused(hmm, td_ev, mode=mode, multihit=multihit,
+                            solver="prefix")
+        a = f_scan.forward(seq)
+        b = f_pref.forward(seq)
+        assert abs(a - b) < 2e-3, (mode, multihit, a, b)

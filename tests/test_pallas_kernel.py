@@ -241,3 +241,110 @@ def test_pallas_wavefront_chained_interpret():
                                jnp.array(il), jnp.array(ol)))
             err = np.abs(dev - np.array(hosts)).max()
             assert err < TOL, (chain, split, err)
+
+
+def build_allclass_transducer(n_states, alphabet, seed=9):
+    """Machine with all three transition classes (in+out, in-only,
+    out-only) — the exact configuration whose generic-kernel handling
+    miscompiled on real TPU at L>=200 (see _merged_kernel docstring)."""
+    import json as _json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import build_random_transducer
+    m = build_random_transducer(n_states, alphabet, seed=seed)
+    js = _json.loads(m.to_json_str())
+    for s in js["state"][:-1]:
+        s["trans"].append({"in": alphabet[0], "to": 0, "weight": 0.11})
+        s["trans"].append({"out": alphabet[-1], "to": 1, "weight": 0.13})
+    return Machine.from_json(js)
+
+
+def test_pallas_all_classes_ragged_interpret():
+    """All-class machine, ragged lengths, through merged (unified
+    left-fold) and lowrank; chained (uniform lengths) separately."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import build_random_transducer  # noqa: F401 (fixture dep)
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+    alphabet = list("AC")
+    m = build_allclass_transducer(5, alphabet)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    ad, al, au, cl = (np.asarray(x) for x in lm.matrices_2d())
+    # all three classes must be present for this test to mean anything
+    for t_ in (ad, al, au):
+        assert float(np.where(t_ > -1e29, 1.0, 0.0).sum()) > 0
+    B, L = 6, 7
+    rng = np.random.RandomState(8)
+    it = rng.randint(0, 2, (B, L)).astype(np.int32)
+    ot = rng.randint(0, 2, (B, L)).astype(np.int32)
+    il = np.full(B, L, np.int32)
+    ol = np.full(B, L, np.int32)
+    il[1], ol[1] = L - 3, L - 1
+    il[2], ol[2] = L - 1, L - 4
+    f64 = tuple(x.astype(np.float64) for x in (ad, al, au, cl))
+    refs = np.array([forward_2d_f64(*f64, it[b][:il[b]], ot[b][:ol[b]])
+                     for b in range(B)])
+
+    def check(dev, refs, tag):
+        for b in range(B):
+            if refs[b] <= -1e29:
+                assert dev[b] < -1e20, (tag, b, dev[b])
+            else:
+                assert abs(dev[b] - refs[b]) < TOL, (tag, b, refs[b],
+                                                     dev[b])
+
+    for variant, merged in ((None, True), ("lowrank", False)):
+        for split in (False, True):
+            fwd = make_wavefront_forward(ad, al, au, cl, B, L, L,
+                                         interpret=True, split=split,
+                                         merged=merged, variant=variant)
+            dev = np.array(fwd(jnp.array(it), jnp.array(ot),
+                               jnp.array(il), jnp.array(ol)))
+            check(dev, refs, (variant, split))
+    # chained needs uniform lengths
+    il[:] = L
+    ol[:] = L
+    refs_u = np.array([forward_2d_f64(*f64, it[b], ot[b])
+                       for b in range(B)])
+    for variant in ("chained", "lowrank"):
+        fwd = make_wavefront_forward(ad, al, au, cl, B, L, L,
+                                     interpret=True, variant=variant,
+                                     chain=3)
+        dev = np.array(fwd(jnp.array(it), jnp.array(ot),
+                           jnp.array(il), jnp.array(ol)))
+        check(dev, refs_u, ("chained", variant))
+
+
+def test_pallas_split_quality_tight():
+    """Split (bf16x2) kernels must track the f64 oracle to <=2e-3 nats at
+    L>=16 — tight enough to catch an accidental single-pass-bf16
+    regression (~5e-2 measured; PERF.md error budget)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import build_random_transducer
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+    alphabet = list("ACGT")
+    m = build_random_transducer(8, alphabet, seed=15)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    ad, al, au, cl = (np.asarray(x) for x in lm.matrices_2d())
+    B, L = 2, 20
+    rng = np.random.RandomState(6)
+    it = rng.randint(0, 4, (B, L)).astype(np.int32)
+    ot = rng.randint(0, 4, (B, L)).astype(np.int32)
+    il = np.full(B, L, np.int32)
+    ol = np.full(B, L, np.int32)
+    f64 = tuple(x.astype(np.float64) for x in (ad, al, au, cl))
+    refs = np.array([forward_2d_f64(*f64, it[b], ot[b]) for b in range(B)])
+    # lowrank's SVD factors cancel more than the nonneg merged layout,
+    # so its bound is looser — still 10x below the single-pass drift mode
+    for merged, variant, bound in ((True, None, 2e-3),
+                                   (False, "lowrank", 5e-3)):
+        fwd = make_wavefront_forward(ad, al, au, cl, B, L, L,
+                                     interpret=True, split=True,
+                                     merged=merged, variant=variant)
+        dev = np.array(fwd(jnp.array(it), jnp.array(ot), jnp.array(il),
+                           jnp.array(ol)))
+        err = np.abs(dev - refs).max()
+        assert err < bound, (merged, variant, err)

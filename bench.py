@@ -240,7 +240,9 @@ def main():
     ragged = os.environ.get("BENCH_RAGGED", "0") == "1"
     if workload == "prot2dna":
         Lp = int(os.environ.get("BENCH_LP", "64"))
-        B = int(os.environ.get("BENCH_B", "256"))
+        # measured (PERF.md): 256 -> 11.0 G, 512 -> 18.0 G cells/s; the
+        # per-step scheduling cost amortizes over lanes until VMEM limits
+        B = int(os.environ.get("BENCH_B", "512"))
         tensors, batch, Li, Lo = prot2dna_workload(Lp, B, ragged=ragged)
         S_real = tensors[3].shape[0]
         metric = "forward_dp_state_cells_per_s_per_chip_prot2dna"

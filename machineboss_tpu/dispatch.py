@@ -23,6 +23,27 @@ from .utils.debug import check_finite
 DENSE_MAX_STATES = 512
 
 
+def _load_dispatch_table():
+    """Measured engine thresholds (scripts/autotune_dispatch.py). Returns
+    the table dict when one was recorded for the current backend, else
+    None (checked-in defaults apply)."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "dispatch_table.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            table = json.load(f)
+    except Exception:
+        return None
+    import jax
+    if table.get("backend") != jax.default_backend():
+        return None
+    return table
+
+
 class CompiledMachine:
     """A machine prepared for repeated device DP calls."""
 
@@ -53,15 +74,34 @@ class CompiledMachine:
 
     # -- dispatch ----------------------------------------------------------
 
+    _dispatch_table = None
+    _dispatch_table_loaded = False
+
     def _strategy(self, n_in, n_out, strategy):
         if strategy != "auto":
             return strategy
         if not self.is_dense:
             return "sparse"
+        if not CompiledMachine._dispatch_table_loaded:
+            CompiledMachine._dispatch_table = _load_dispatch_table()
+            CompiledMachine._dispatch_table_loaded = True
+        table = CompiledMachine._dispatch_table
         one_d = self.machine.input_empty() or self.machine.output_empty()
         if one_d:
             S = self.ev.n_states()
             L = max(n_in, n_out)
+            if table:
+                # measured: smallest L where the log-depth assoc scan beat
+                # the sequential scan for the nearest measured S
+                by_s = table["derived"]["assoc_min_L_by_S"]
+                if by_s:
+                    keys = sorted(int(k) for k in by_s)
+                    nearest = min(keys, key=lambda k: abs(k - S))
+                    return "assoc" if L >= by_s[str(nearest)] else "scan"
+                return "scan"          # assoc never won on this backend
+            # default (unmeasured backend): conservative guess; the
+            # reference documents the assoc pathology at large S
+            # (ref API.md:87-91), hence the S cap
             return "assoc" if (L >= 256 and S <= 64) else "scan"
         return "rows"
 

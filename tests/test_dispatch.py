@@ -79,3 +79,36 @@ def test_cli_engine_device_loglike():
     hv = float(host.strip()[1:-1].rsplit(",", 1)[-1].rstrip("]"))
     dv = float(dev.strip()[1:-1].rsplit(",", 1)[-1].rstrip("]"))
     assert abs(hv - dv) < 1e-3, (host, dev)
+
+
+def test_dispatch_consults_measured_table():
+    """_strategy uses the measured assoc/scan crossover when a
+    dispatch_table.json for the current backend exists
+    (scripts/autotune_dispatch.py; ref API.md:87-91 pathology)."""
+    from machineboss_tpu.dispatch import CompiledMachine
+    from machineboss_tpu.core.machine import Machine
+    gen = {"state": [
+        {"id": "S0", "trans": [{"out": c, "to": 0, "weight": 0.2}
+                               for c in "AC"] + [{"to": 1, "weight": 0.2}]},
+        {"id": "End", "trans": []}]}
+    cm = CompiledMachine(Machine.from_json(gen))
+    fake = {"backend": "cpu",
+            "derived": {"assoc_min_L_by_S": {"4": 512, "64": 4096},
+                        "wavefront_2d": True}}
+    old = (CompiledMachine._dispatch_table,
+           CompiledMachine._dispatch_table_loaded)
+    try:
+        CompiledMachine._dispatch_table = fake
+        CompiledMachine._dispatch_table_loaded = True
+        # S=2 -> nearest measured S=4 -> threshold 512
+        assert cm._strategy(0, 256, "auto") == "scan"
+        assert cm._strategy(0, 512, "auto") == "assoc"
+        # no assoc wins recorded at all -> always scan
+        CompiledMachine._dispatch_table = {
+            "backend": "cpu", "derived": {"assoc_min_L_by_S": {}}}
+        assert cm._strategy(0, 10000, "auto") == "scan"
+        # explicit strategy always honored
+        assert cm._strategy(0, 10000, "rows") == "rows"
+    finally:
+        (CompiledMachine._dispatch_table,
+         CompiledMachine._dispatch_table_loaded) = old

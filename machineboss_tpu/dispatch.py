@@ -201,14 +201,22 @@ class CompiledMachine:
             if pkey not in self._cache:
                 from .ops.pallas.wavefront_kernel import \
                     make_wavefront_forward
-                # merged=True routes to the class-specialized unified
-                # kernel; the generic (merged=False) variant is known to
-                # miscompile on the 2026-08 TPU runtime for all-class
-                # machines at L>=200 (see _merged_kernel docstring) and is
-                # kept only as an explicit opt-out for debugging
+                from .ops.pallas.lowrank_kernel import lowrank_cost_ratio
+                ht = tuple(np.array(x) for x in (a_diag, a_left, a_up,
+                                                 closure))
+                if "lowrank_ratio" not in self._cache:
+                    self._cache["lowrank_ratio"] = \
+                        lowrank_cost_ratio(*ht)[0]
+                # structured machines (profile HMMs, GeneWise, PSWs) route
+                # to the closure-folded min-rank kernel (measured 1.8x the
+                # factored kernel on prot2dna, PERF.md); full-rank machines
+                # stay on the class-specialized merged kernel. merged=True
+                # because the generic variant is known to miscompile on
+                # the 2026-08 TPU runtime at L>=200.
+                variant = "lowrank" \
+                    if self._cache["lowrank_ratio"] < 0.6 else None
                 self._cache[pkey] = make_wavefront_forward(
-                    np.array(a_diag), np.array(a_left), np.array(a_up),
-                    np.array(closure), B, Li, Lo, merged=True)
+                    *ht, B, Li, Lo, merged=True, variant=variant)
             fn = self._cache[pkey]
         else:
             from .ops.wavefront_fast import forward_2d_wavefront_fast

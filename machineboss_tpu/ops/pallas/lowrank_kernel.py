@@ -147,6 +147,44 @@ def prepare_lowrank(a_diag, a_left, a_up, closure, chained=False):
     return plan, mats
 
 
+def lowrank_cost_ratio(a_diag, a_left, a_up, closure):
+    """Estimated padded-MAC cost of the lowrank kernel relative to the
+    merged wide-dot kernel (both per lane per diagonal). Used by dispatch
+    to auto-route structured machines (profile HMMs, GeneWise
+    compositions, PSWs) to the lowrank kernel; full-rank random machines
+    come out >= 1 and stay on merged. Returns (ratio, plan)."""
+    def pad(x, m):
+        return ((x + m - 1) // m) * m
+
+    Ti, To = a_diag.shape[0], a_diag.shape[1]
+    S = closure.shape[0]
+    plan, _ = prepare_lowrank(a_diag, a_left, a_up, closure)
+    Sa = plan["Sa"]
+    lr = 0
+    for cs in plan["classes"]:
+        if cs.side == "src":
+            lr += 3 * pad(Sa, 8) * pad(cs.rank * Sa, 128)
+        else:
+            lr += 3 * pad(cs.rank * Sa, 8) * pad(Sa, 128)
+        if not cs.static_sc and cs.n_tok > 8:
+            lr += 2 * pad(cs.rank * Sa, 8) * pad(cs.n_tok, 128)
+    # merged unified: one wide dot (n_blk*S rows) against the stacked
+    # [up S][diag Ti*S][left Ti*S] columns (class-present terms only)
+    has_up = bool(np.any(np.asarray(a_up) > -1e29)) if a_up.size else False
+    has_left = bool(np.any(np.asarray(a_left) > -1e29)) \
+        if a_left.size else False
+    has_diag = bool(np.any(np.asarray(a_diag) > -1e29)) \
+        if a_diag.size else False
+    unify = has_left and (has_up or has_diag)
+    n_blk = To + 1 if unify else max(To, 1)
+    cols = (S if has_up else 0) + (Ti * S if has_diag else 0) \
+        + (Ti * S if (has_left and unify) else 0)
+    merged = 3 * pad(n_blk * S, 8) * pad(max(cols, 1), 128)
+    if has_left and not unify:
+        merged += 3 * pad(S, 8) * pad(Ti * S, 128)
+    return (lr / merged if merged else 1.0), plan
+
+
 def _lowrank_kernel(spec, *args):
     """spec: dict of static config. Plain and chained modes share the
     per-chunk class-term core; mode differences are Python-level."""

@@ -112,3 +112,26 @@ def test_dispatch_consults_measured_table():
     finally:
         (CompiledMachine._dispatch_table,
          CompiledMachine._dispatch_table_loaded) = old
+
+
+def test_lowrank_cost_routing():
+    """Structured machines route to the lowrank kernel; full-rank random
+    machines stay on merged (ops/pallas/lowrank_kernel.lowrank_cost_ratio)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import numpy as np
+    from bench import build_random_transducer
+    from machineboss_tpu.core.presets import make_preset
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.lowering import LoweredMachine
+    from machineboss_tpu.ops.pallas.lowrank_kernel import lowrank_cost_ratio
+
+    def ratio(m):
+        ev = EvaluatedMachine(m, m.get_param_defs(True))
+        lm = LoweredMachine(ev, dtype=np.float32)
+        return lowrank_cost_ratio(*(np.asarray(x)
+                                    for x in lm.matrices_2d()))[0]
+
+    assert ratio(make_preset("prot2dna")) < 0.1
+    assert ratio(make_preset("protpsw")) < 0.6
+    assert ratio(build_random_transducer(64, list("ACGT"))) > 1.0

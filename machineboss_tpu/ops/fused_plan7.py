@@ -474,6 +474,283 @@ class Plan7Fused:
         final, _ = jax.lax.scan(step, row0, (out_toks, jnp.arange(Lo)))
         return final["T"][St - 1]
 
+    # --------------------------------------------- batch-major flat path
+
+    def _init_flat(self):
+        """One-time setup for the batch-major solver (see
+        _forward_batch_impl). Builds the stacked per-token emission
+        tensor, the flat block layout, and — for multihit — the exact
+        B->outputs semiring maps that replace the n_hit fixed-point."""
+        j = self._j
+        K, St = self.K, self.St
+        plan7 = self.mode == "plan7"
+        # flat block layout: [M(K) Mx(K) I(K) Ix(K) D(K)] + flanks
+        self._fb = fb = {
+            "M": 0, "Mx": K, "I": 2 * K, "Ix": 3 * K, "D": 4 * K,
+            "N": 5 * K + 0, "Nx": 5 * K + 1, "B": 5 * K + 2,
+            "E": 5 * K + 3, "C": 5 * K + 4, "Cx": 5 * K + 5,
+            "J": 5 * K + 6, "Jx": 5 * K + 7, "T": 5 * K + 8,
+            "I0": 5 * K + 9, "Ix0": 5 * K + 10,
+        }
+        self._nb = 5 * K + 11
+        # paired-emission stack: src rows [M(K) I(K) N C J I0] ->
+        # dst rows [Mx(K) Ix(K) Nx Cx Jx Ix0]
+        em = jnp.concatenate([
+            j["emy_all"],                                   # (n_out,K,S,S)
+            j["eiy_all"],
+            j["enully_all"][:, None],                       # N
+            j["enully_all"][:, None],                       # C
+            j["enully_all"][:, None],                       # J
+            j["eins0y_all"][:, None],                       # I0
+        ], axis=1)                                          # (n_out,2K+4,..)
+        self._em_stack = em
+        self._em_src = np.concatenate([
+            np.arange(K), 2 * K + np.arange(K),
+            [fb["N"], fb["C"], fb["J"], fb["I0"]]]).astype(np.int32)
+        self._hot_dst = np.concatenate([
+            K + np.arange(K), 3 * K + np.arange(K),
+            [fb["Nx"], fb["Cx"], fb["Jx"], fb["Ix0"]]]).astype(np.int32)
+
+        if plan7 and self.multihit:
+            # exact multihit: the within-row map B -> (class outputs) is
+            # semiring-linear and row-independent, so one basis pass
+            # through the legacy row core yields M_{B->cls}; the E->J->B
+            # re-entry fixed point B = C (+) B (x) M_loop then solves
+            # EXACTLY with a host (I - M_loop)^{-1} closure (the n_hit
+            # iteration in _solve_row is a truncation of this series)
+            zero_kv = jnp.full((K, St), SR.zero, jnp.float32)
+            zero_v = jnp.full((St,), SR.zero, jnp.float32)
+            cold0 = {n: zero_kv for n in ("M", "I")}
+            hot0 = {"Mx": zero_kv, "Ix": zero_kv}
+
+            def run(bh):
+                m, mx, i, ix, d = self._row_core(bh, cold0, hot0, None)
+                e = self._row_E(m, mx, i, ix, d)
+                return m, mx, i, ix, d, e
+
+            basis = jnp.where(jnp.eye(St, dtype=bool), 0.0, SR.zero
+                              ).astype(jnp.float32)
+            mb_m, mb_mx, mb_i, mb_ix, mb_d, mb_e = jax.jit(jax.vmap(run))(
+                basis)
+            # (St, K, St) -> (K, St, St) for batched right-multiplication
+            self._mb = {
+                "M": jnp.transpose(mb_m, (1, 0, 2)),
+                "Mx": jnp.transpose(mb_mx, (1, 0, 2)),
+                "I": jnp.transpose(mb_i, (1, 0, 2)),
+                "Ix": jnp.transpose(mb_ix, (1, 0, 2)),
+                "D": jnp.transpose(mb_d, (1, 0, 2)),
+                "E": mb_e,                                   # (St, St)
+            }
+            e_np = np.array(mb_e, np.float64)
+            cloop = np.array(j["cloop"], np.float64)
+            m_loop = _np_log_matmul(e_np, cloop) \
+                + np.log(0.5) + self.log_exit
+            p = np.where(m_loop > NEG_INF / 2, np.exp(m_loop), 0.0)
+            self._mloop_star = jnp.array(
+                _np_log(np.linalg.inv(np.eye(St) - p)), jnp.float32)
+
+    def _row_core_batch(self, B_hot, cold_m, cold_i, hot_mx, hot_ix,
+                        ix0_hot):
+        """Batched _row_core: all tensors carry a leading batch dim.
+        B_hot (B,St); cold_m/cold_i/hot_mx/hot_ix (B,K,St)."""
+        j = self._j
+        K, St = self.K, self.St
+
+        if self.local:
+            u_hot = j["entry"][None, :, None] + B_hot[:, None, :]
+        else:
+            u0 = self.b_to_m1 + B_hot
+            if ix0_hot is not None:
+                u0 = SR.add(u0, self.i0_to_m1 + ix0_hot)
+            u_hot = jnp.full((B_hot.shape[0], K, St), SR.zero,
+                             jnp.float32).at[:, 0].set(u0)
+
+        def kmat(v, m):                       # (B,K,St) x (K,St,St)
+            return SR.matmul(v[:, :, None, :], m)[:, :, 0, :]
+
+        b_mx = SR.add(kmat(SR.add(u_hot, cold_m), j["em0"]), hot_mx)
+        cold_i_ei0 = kmat(cold_i, j["ei0"])
+        ix_aff_in = SR.add(cold_i_ei0, hot_ix)
+        i_aff = SR.add(j["m_to_i"][None, :, None] + b_mx,
+                       j["i_to_i"][None, :, None] + ix_aff_in)
+        b_ix = SR.add(kmat(kmat(i_aff, j["ci"]), j["ei0"]), ix_aff_in)
+        b_d = jnp.full_like(b_mx, SR.zero)
+        if not self.local:
+            b_d = b_d.at[:, 0].set(self.b_to_d1 + B_hot)
+        b = jnp.concatenate([b_mx, b_ix, b_d], axis=-1)       # (B,K,3St)
+
+        Bn = b.shape[0]
+        carry = SR.vecmat(b.reshape(Bn, K * 3 * St),
+                          j["t_tri"]).reshape(Bn, K, 3 * St)
+        mx_hot = carry[:, :, 0:St]
+        ix_hot = carry[:, :, St:2 * St]
+        d_hot = carry[:, :, 2 * St:]
+
+        prev = jnp.concatenate(
+            [jnp.full((Bn, 1, 3 * St), SR.zero, carry.dtype),
+             carry[:, :-1]], axis=1)
+        lin = SR.add(
+            SR.add(jnp.roll(j["m_to_m"], 1)[None, :, None]
+                   + prev[:, :, 0:St],
+                   jnp.roll(j["i_to_m"], 1)[None, :, None]
+                   + prev[:, :, St:2 * St]),
+            jnp.roll(j["d_to_m"], 1)[None, :, None] + prev[:, :, 2 * St:])
+        m_hot = SR.add(lin, u_hot)
+        i_hot = kmat(SR.add(j["m_to_i"][None, :, None] + mx_hot,
+                            j["i_to_i"][None, :, None] + ix_aff_in),
+                     j["ci"])
+        return m_hot, mx_hot, i_hot, ix_hot, d_hot, ix_aff_in
+
+    def _row_E_batch(self, m_hot, mx_hot, i_hot, ix_hot, d_hot):
+        j = self._j
+        K = self.K
+        if self.local:
+            e = SR.reduce(jnp.concatenate([m_hot, d_hot], axis=1), axis=1)
+        else:
+            e = SR.add(j["m_to_m"][K - 1] + mx_hot[:, K - 1],
+                       j["d_to_m"][K - 1] + d_hot[:, K - 1])
+        return SR.add(e, j["i_to_m"][K - 1] + ix_hot[:, K - 1])
+
+    def _solve_row_batch(self, cold, hot, first, Bn):
+        """Batched _solve_row over the flat (B, NB, St) layout.
+        cold (B,NB,St); hot (B,2K+4,St) aligned with _hot_dst; first is
+        the (St,) start vector at row 0 or None."""
+        j = self._j
+        K, St = self.K, self.St
+        fb = self._fb
+        zero_bv = jnp.full((Bn, St), SR.zero, jnp.float32)
+        plan7 = self.mode == "plan7"
+
+        cold_m = cold[:, 0:K]
+        cold_i = cold[:, 2 * K:3 * K]
+        hot_mx = hot[:, 0:K]
+        hot_ix = hot[:, K:2 * K]
+        hot_nx = hot[:, 2 * K]
+        hot_cx = hot[:, 2 * K + 1]
+        hot_jx = hot[:, 2 * K + 2]
+        hot_ix0 = hot[:, 2 * K + 3]
+
+        if plan7:
+            nx_in = SR.add(hot_nx,
+                           SR.vecmat(cold[:, fb["N"]], j["enull0"]))
+            if first is not None:
+                nx_in = SR.add(nx_in, jnp.broadcast_to(first, (Bn, St)))
+            nx_hot = SR.vecmat(nx_in, j["cloop"])
+            n_hot = self.log_loop + nx_hot
+            B0_hot = self.log_exit + nx_hot
+            ix0_hot = None
+        else:
+            nx_hot = n_hot = zero_bv
+            B0_hot = (jnp.broadcast_to(first, (Bn, St))
+                      if first is not None else zero_bv)
+            if self.local:
+                ix0_hot = None
+            else:
+                x = SR.add(
+                    SR.vecmat(SR.add(self.b_to_i0 + B0_hot,
+                                     cold[:, fb["I0"]]), j["eins00"]),
+                    hot_ix0)
+                ix0_hot = SR.vecmat(x, j["ci00"])
+
+        if plan7 and self.multihit:
+            # base pass with no B mass, then exact re-entry closure
+            neg_b = jnp.full((Bn, St), SR.zero, jnp.float32)
+            m0, mx0, i0_, ix0_, d0, _ = self._row_core_batch(
+                neg_b, cold_m, cold_i, hot_mx, hot_ix, None)
+            e_base = self._row_E_batch(m0, mx0, i0_, ix0_, d0)
+            jx_base = SR.add(
+                SR.add(hot_jx, SR.vecmat(cold[:, fb["J"]], j["enull0"])),
+                float(np.log(0.5)) + e_base)
+            c_in = SR.add(B0_hot,
+                          self.log_exit + SR.vecmat(jx_base, j["cloop"]))
+            B_hot = SR.vecmat(c_in, self._mloop_star)
+            # outputs = base (+) B (x) M_{B->cls}
+            mb = self._mb
+
+            def badd(base_kv, key):
+                return SR.add(base_kv, SR.matmul(
+                    B_hot[:, None, None, :], mb[key])[:, :, 0, :])
+
+            m_hot = badd(m0, "M")
+            mx_hot = badd(mx0, "Mx")
+            i_hot = badd(i0_, "I")
+            ix_hot = badd(ix0_, "Ix")
+            d_hot = badd(d0, "D")
+            e_hot = SR.add(e_base, SR.vecmat(B_hot, mb["E"]))
+            jx_in = SR.add(jx_base,
+                           float(np.log(0.5))
+                           + SR.vecmat(B_hot, mb["E"]))
+            jx_hot = SR.vecmat(jx_in, j["cloop"])
+            j_hot = self.log_loop + jx_hot
+        else:
+            B_hot = B0_hot
+            m_hot, mx_hot, i_hot, ix_hot, d_hot, _ = self._row_core_batch(
+                B_hot, cold_m, cold_i, hot_mx, hot_ix, ix0_hot)
+            e_hot = self._row_E_batch(m_hot, mx_hot, i_hot, ix_hot, d_hot)
+            jx_hot = j_hot = zero_bv
+
+        if plan7:
+            e_to_c = float(np.log(0.5)) if self.multihit else 0.0
+            cx_in = SR.add(
+                SR.add(hot_cx, SR.vecmat(cold[:, fb["C"]], j["enull0"])),
+                e_to_c + e_hot)
+            cx_hot = SR.vecmat(cx_in, j["cloop"])
+            c_hot = self.log_loop + cx_hot
+            t_hot = self.log_exit + cx_hot
+        else:
+            cx_hot = c_hot = zero_bv
+            t_hot = e_hot
+        if ix0_hot is not None:
+            i0_hot = SR.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
+            ix0_v = ix0_hot
+        else:
+            i0_hot = ix0_v = zero_bv
+
+        flanks = jnp.stack([n_hot, nx_hot, B_hot, e_hot, c_hot, cx_hot,
+                            j_hot, jx_hot, t_hot, i0_hot, ix0_v], axis=1)
+        x_hot = jnp.concatenate(
+            [m_hot, mx_hot, i_hot, ix_hot, d_hot, flanks], axis=1)
+        return SR.add(x_hot, cold)                           # (B,NB,St)
+
+    def _forward_batch_impl(self, toks, lens):
+        """Batch-major fused Forward: toks (B, Lo) output token ids,
+        lens (B,). One flat (B, NB, St) row state; per step the shared
+        output-only move is ONE batched semiring matmul over all blocks
+        and the paired emissions ONE gathered batched matmul — versus
+        ~20 per-class ops in the vmapped path. Returns (B,) log-likes."""
+        j = self._j
+        K, St = self.K, self.St
+        nb = self._nb
+        fb = self._fb
+        Bn = toks.shape[0]
+        neg = jnp.full((Bn, nb, St), SR.zero, jnp.float32)
+        neg_hot = jnp.full((Bn, 2 * K + 4, St), SR.zero, jnp.float32)
+
+        start = jnp.full((St,), SR.zero, jnp.float32).at[0].set(0.0)
+        start = SR.vecmat(start, j["t_closure"])
+        x0 = self._solve_row_batch(neg, neg_hot, start, Bn)
+
+        em_src = jnp.array(self._em_src)
+        hot_dst = jnp.array(self._hot_dst)
+
+        def step(x, inp):
+            y, pos = inp
+            cold = SR.matmul(x, j["ty0"][y])                 # (B,NB,St)
+            src = jnp.take(x, em_src, axis=1)                # (B,2K+4,St)
+            emg = self._em_stack[y]                          # (B,2K+4,S,S)
+            hot = SR.matmul(src[:, :, None, :], emg)[:, :, 0, :]
+            # cold arrivals at the hot destinations stay in `cold`; the
+            # solver reads them separately (canonical interleaving)
+            x_new = self._solve_row_batch(cold, hot, None, Bn)
+            keep = (pos < lens)[:, None, None]
+            return jnp.where(keep, x_new, x), None
+
+        final, _ = jax.lax.scan(step, x0,
+                                (jnp.transpose(toks), jnp.arange(
+                                    toks.shape[1])))
+        row = fb["T"] if self.mode == "plan7" else fb["E"]
+        return final[:, row, St - 1]
+
     # ------------------------------------------------------------- public
 
     def forward(self, out_syms):
@@ -482,13 +759,17 @@ class Plan7Fused:
             jnp.int32)
         return float(self._fwd(toks, jnp.int32(len(out_syms))))
 
-    def forward_batch(self, seqs, pad_multiple=16):
-        """Score many output sequences in one vmapped device call.
-        Sequences are right-padded to a shared geometric bucket; padding
-        is masked by per-sequence lengths. Returns a numpy (B,) array."""
+    def forward_batch(self, seqs, pad_multiple=16, impl="auto"):
+        """Score many output sequences in one device call. Sequences are
+        right-padded to a shared geometric bucket; padding is masked by
+        per-sequence lengths. Returns a numpy (B,) array.
+
+        impl: 'flat' = batch-major solver (default with the prefix row
+        solver; fewer, larger XLA ops per scan step and an EXACT multihit
+        closure), 'vmap' = the per-read implementation vmapped."""
         from .fwdback import pad_bucket
-        if not hasattr(self, "_fwd_batch"):
-            self._fwd_batch = jax.jit(jax.vmap(self._forward_impl))
+        if impl == "auto":
+            impl = "flat" if self._solver == "prefix" else "vmap"
         B = len(seqs)
         Lo = pad_bucket(max((len(s) for s in seqs), default=1),
                         base=pad_multiple)
@@ -498,4 +779,23 @@ class Plan7Fused:
         for n, s in enumerate(seqs):
             toks[n, :len(s)] = [s2t[c] for c in s]
             lens[n] = len(s)
-        return np.array(self._fwd_batch(jnp.array(toks), jnp.array(lens)))
+        return self.forward_batch_tokens(toks, lens, impl=impl)
+
+    def forward_batch_tokens(self, toks, lens, impl="auto"):
+        """Device call on pre-tokenized reads: toks (B, Lo) 1-based
+        output token ids (padded), lens (B,) real lengths. Use this when
+        scoring the same reads repeatedly — forward_batch's host-side
+        tokenization costs more than the device call at large B."""
+        if impl == "auto":
+            impl = "flat" if self._solver == "prefix" else "vmap"
+        if impl == "flat":
+            if not hasattr(self, "_fb"):
+                self._init_flat()
+            if not hasattr(self, "_fwd_flat"):
+                self._fwd_flat = jax.jit(self._forward_batch_impl)
+            return np.array(self._fwd_flat(jnp.asarray(toks),
+                                           jnp.asarray(lens)))
+        if not hasattr(self, "_fwd_batch"):
+            self._fwd_batch = jax.jit(jax.vmap(self._forward_impl))
+        return np.array(self._fwd_batch(jnp.asarray(toks),
+                                        jnp.asarray(lens)))

@@ -138,3 +138,33 @@ def test_fused_prefix_solver_matches_scan_fn3():
         a = f_scan.forward(seq)
         b = f_pref.forward(seq)
         assert abs(a - b) < 2e-3, (mode, multihit, a, b)
+
+
+def test_fused_flat_batch_matches_vmap():
+    """The batch-major flat solver (merged per-class ops + EXACT
+    multihit re-entry closure) equals the per-read vmapped path in all
+    modes; multihit differs only by the vmap path's n_hit truncation."""
+    hmm, td, td_ev = _setup()
+    rng = np.random.RandomState(0)
+    reads = [["ACGT"[i] for i in rng.randint(0, 4, rng.randint(1, 9))]
+             for _ in range(10)]
+    for mode, local, multihit in (("core", True, False),
+                                  ("core", False, False),
+                                  ("plan7", True, False),
+                                  ("plan7", True, True)):
+        f = Plan7Fused(hmm, td_ev, mode=mode, local=local,
+                       multihit=multihit, length=10.0, solver="prefix")
+        flat = f.forward_batch(reads, impl="flat")
+        legacy = f.forward_batch(reads, impl="vmap")
+        tol = 1e-3 if multihit else 1e-6
+        assert np.abs(flat - legacy).max() < tol, (mode, local, multihit)
+        if multihit:
+            # flat's re-entry closure is exact; vmap truncates at n_hit,
+            # so the flat value can only be (epsilon-)higher
+            assert (flat >= legacy - 1e-5).all()
+        # and against the composed-machine oracle
+        gen = hmm.machine(local) if mode == "core" else \
+            hmm.plan7_machine(multihit=multihit, length=10.0)
+        for n in (0, 3, 7):
+            want = _oracle(gen, td, "".join(reads[n]))
+            assert abs(flat[n] - want) < 5e-3, (mode, local, multihit, n)

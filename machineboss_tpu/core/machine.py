@@ -718,6 +718,17 @@ class Machine:
         if first.output_alphabet() or orig_second.output_alphabet():
             raise ValueError("Attempt to intersect transducers A&B with"
                              " nonempty output alphabets")
+        native = _native_lib()
+        if (native is not None
+                and (_native_mode() == "force"
+                     or first.n_states() * orig_second.n_states()
+                     >= NATIVE_COMPOSE_MIN_PRODUCT)):
+            out = native.combine_json("intersect", first.to_json_str(),
+                                      orig_second.to_json_str(),
+                                      cycle_strategy=cycle_strategy)
+            result = Machine.from_json(_json.loads(out))
+            result.import_from(first, orig_second)
+            return result
         second = (orig_second if orig_second.is_waiting_machine()
                   else orig_second.waiting_machine())
         inter = Machine()

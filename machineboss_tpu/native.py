@@ -77,13 +77,16 @@ def transform_json(machine_json_text, op, **kwargs):
     return out
 
 
-def combine_json(op, a_json_text, b_json_text):
-    """Two-machine native constructions: op in {'concat', 'union'}."""
+def combine_json(op, a_json_text, b_json_text, **kwargs):
+    """Two-machine native constructions:
+    op in {'concat', 'union', 'intersect'}."""
     lib = load_library()
     if lib is None:
         raise RuntimeError("native library not built (make -C native)")
-    req = json.dumps({"op": op, "a": json.loads(a_json_text),
-                      "b": json.loads(b_json_text)})
+    d = {"op": op, "a": json.loads(a_json_text),
+         "b": json.loads(b_json_text)}
+    d.update(kwargs)
+    req = json.dumps(d)
     ptr = lib.mb_combine(req.encode())
     out = _take_string(lib, ptr)
     if out.startswith('{"error"'):

@@ -94,6 +94,11 @@ char* mb_combine(const char* request_json) {
       out = Machine::concatenate(a, b);
     else if (op == "union")
       out = Machine::take_union(a, b);
+    else if (op == "intersect")
+      out = Machine::intersect(
+          a, b,
+          req.contains("cycle_strategy")
+              ? (int)req.at("cycle_strategy").as_int() : 2);
     else
       return error_result("unknown op: " + op);
     return dup_result(out.to_json_str());

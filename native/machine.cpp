@@ -638,6 +638,65 @@ Machine Machine::compose(const Machine& first, const Machine& orig_second,
       .ergodic_machine();
 }
 
+Machine Machine::intersect(const Machine& first, const Machine& orig_second,
+                           int cycle_strategy) {
+  // full product (no reachability pruning), exactly like the Python
+  // reference path (core/machine.py Machine.intersect); the trailing
+  // ergodic_machine passes trim it
+  ExprArena& A = *first.arena;
+  Machine second_wm(first.arena);
+  const Machine& second = orig_second.is_waiting_machine()
+      ? orig_second
+      : (second_wm = orig_second.waiting_machine());
+  StateIndex iS = first.n_states(), jS = second.n_states();
+  bool assign = !first.state_names_all_null() &&
+                !second.state_names_all_null();
+  Machine inter(first.arena);
+  inter.states.resize((size_t)(iS * jS));
+  for (StateIndex i = 0; i < iS; ++i) {
+    const State& msi = first.states[i];
+    for (StateIndex j = 0; j < jS; ++j) {
+      const State& msj = second.states[j];
+      State& ms = inter.states[(size_t)(i * jS + j)];
+      if (assign)
+        ms.name = make_pair_name(first.states[i].name,
+                                 second.states[j].name);
+      if (msj.waits() || msj.terminates()) {
+        for (const auto& it : msi.trans) {
+          if (it.input_empty()) {
+            Transition t;
+            t.in = it.in;
+            t.dest = it.dest * jS + j;
+            t.weight = it.weight;
+            ms.trans.push_back(std::move(t));
+          } else {
+            for (const auto& jt : msj.trans) {
+              if (it.in == jt.in) {
+                Transition t;
+                t.in = it.in;
+                t.dest = it.dest * jS + jt.dest;
+                t.weight = A.mul(it.weight, jt.weight);
+                ms.trans.push_back(std::move(t));
+              }
+            }
+          }
+        }
+      } else {
+        for (const auto& jt : msj.trans) {
+          Transition t;
+          t.dest = i * jS + jt.dest;
+          t.weight = jt.weight;
+          ms.trans.push_back(std::move(t));
+        }
+      }
+    }
+  }
+  return inter.ergodic_machine()
+      .advance_sort()
+      .process_cycles(cycle_strategy)
+      .ergodic_machine();
+}
+
 // ---------------------------------------------------------------------------
 // JSON io
 

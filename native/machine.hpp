@@ -281,6 +281,11 @@ public:
 
   // ---- compose ----------------------------------------------------------
 
+  // Intersection of two recognizers (ref src/machine.cpp:909); parity
+  // with core/machine.py Machine.intersect
+  static Machine intersect(const Machine& first, const Machine& orig_second,
+                           int cycle_strategy);
+
   static Machine compose(const Machine& first, const Machine& orig_second,
                          bool assign_names, bool collapse, int cycle_strategy);
 

@@ -2,9 +2,9 @@
 Python host layer (the semantic reference) on the reference's own machines.
 
 Covers the full native op surface (native/machine.cpp via the C ABI):
-compose, advance_sort, advancing, drop_silent_back, ergodic, waiting,
-eliminate_silent, merge_equivalent, reverse, transpose, zero_or_one,
-kleene_plus, kleene_star, concat, union — 15 ops.
+compose, intersect, advance_sort, advancing, drop_silent_back, ergodic,
+waiting, eliminate_silent, merge_equivalent, reverse, transpose,
+zero_or_one, kleene_plus, kleene_star, concat, union — 16 ops.
 
 Skips when native/libmbcore.so is not built (make -C native)."""
 
@@ -111,3 +111,26 @@ def test_native_wired_transforms_match_python(monkeypatch):
     monkeypatch.setenv("MB_NATIVE", "1")
     assert jtext(comp.eliminate_silent_transitions()) == jtext(py_es)
     assert jtext(comp.merge_equivalent_states()) == jtext(py_me)
+
+
+def test_native_intersect_parity(monkeypatch):
+    """Native intersect == Python intersect, byte-identical, on
+    recognizer projections of the reference machines (intersect requires
+    empty output alphabets)."""
+    monkeypatch.setenv("MB_NATIVE", "0")
+    pairs = [("bitecho", "bitstutter"), ("bitstutter", "bitnoise"),
+             ("bitecho", "bitecho"), ("unitindel", "bitnoise")]
+    for a, b in pairs:
+        ra = load(a).silence_output()
+        rb = load(b).silence_output()
+        py = Machine.intersect(ra, rb)
+        nat = native.combine_json("intersect", jtext(ra), jtext(rb),
+                                  cycle_strategy=2)
+        assert nat == jtext(py), (a, b)
+    # wired: MB_NATIVE=1 routes Machine.intersect through the library
+    ra = load("bitstutter").silence_output()
+    rb = load("bitnoise").silence_output()
+    py = Machine.intersect(ra, rb)
+    monkeypatch.setenv("MB_NATIVE", "1")
+    nat = Machine.intersect(ra, rb)
+    assert jtext(nat) == jtext(py)

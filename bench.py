@@ -352,18 +352,64 @@ def main():
         assert variant != "chained" and not (
             variant == "lowrank" and chain), \
             "chained variants need uniform lengths"
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "1"))
     run = None
     if engine == "pallas":
         try:
             from machineboss_tpu.ops.pallas.wavefront_kernel import \
                 make_wavefront_forward
-            fwd = make_wavefront_forward(a_diag, a_left, a_up, closure,
-                                         B, Li, Lo, merged=merged,
-                                         n_chunks=n_chunks, split=split,
-                                         variant=variant, chain=chain)
+            if ragged and n_buckets >= 2:
+                # length-bucketed ragged batching: one kernel per length
+                # quantile group, so short pairs stop paying for the
+                # longest pair's lattice (API analog:
+                # dispatch.log_forward_batch(bucket=True))
+                il_h = np.asarray(in_lens)
+                ol_h = np.asarray(out_lens)
+                it_h = np.asarray(in_toks)
+                ot_h = np.asarray(out_toks)
+                qs = np.quantile(il_h,
+                                 np.linspace(0, 1, n_buckets + 1)[1:-1])
+                assign = np.searchsorted(qs, il_h, side="left")
+                groups = []
+                for g in range(n_buckets):
+                    idx = np.where(assign == g)[0]
+                    if not len(idx):
+                        continue
+                    li_g = int(il_h[idx].max())
+                    lo_g = int(ol_h[idx].max())
+                    nb = -(-len(idx) // 64) * 64    # pad group to x64
+                    pad = np.concatenate(
+                        [idx, np.repeat(idx[-1], nb - len(idx))])
+                    fwd_g = make_wavefront_forward(
+                        a_diag, a_left, a_up, closure, nb, li_g, lo_g,
+                        merged=merged, n_chunks=n_chunks, split=split,
+                        variant=variant, chain=chain)
+                    args = (jnp.array(it_h[pad][:, :li_g]),
+                            jnp.array(ot_h[pad][:, :lo_g]),
+                            jnp.array(il_h[pad]),
+                            jnp.array(ol_h[pad]))
+                    groups.append((idx, len(idx), fwd_g, args))
+                sys.stderr.write(
+                    "buckets: %s\n" % [(len(i), a[0].shape[1],
+                                        a[1].shape[1])
+                                       for i, _, _, a in groups])
 
-            def run():
-                return fwd(in_toks, out_toks, in_lens, out_lens)
+                def run():
+                    out = np.empty(B, np.float32)
+                    for idx, n_real, fwd_g, args in groups:
+                        vals = np.asarray(fwd_g(*args))
+                        out[idx] = vals[:n_real]
+                    return jnp.array(out)
+            else:
+                fwd = make_wavefront_forward(a_diag, a_left, a_up,
+                                             closure, B, Li, Lo,
+                                             merged=merged,
+                                             n_chunks=n_chunks,
+                                             split=split,
+                                             variant=variant, chain=chain)
+
+                def run():
+                    return fwd(in_toks, out_toks, in_lens, out_lens)
 
             run().block_until_ready()
         except Exception as e:  # pragma: no cover - fallback path

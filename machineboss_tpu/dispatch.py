@@ -157,21 +157,78 @@ class CompiledMachine:
         return self.log_forward(input_seq, output_seq, strategy,
                                 viterbi=True)
 
-    def log_forward_batch(self, pairs, engine="auto", pad_multiple=16):
+    def log_forward_batch(self, pairs, engine="auto", pad_multiple=16,
+                          bucket=False):
         """Batched Forward over [(input_seq, output_seq), ...] on device.
 
         engine: 'auto' picks the pallas wavefront kernel on TPU backends
         (dense 2D machines) and the jnp wavefront elsewhere; 'wavefront'
         forces the jnp engine; 'pallas' forces the kernel. Sequences are
         right-padded to a shared bucket; per-sequence lengths mask the
-        padding. Returns a numpy (B,) array of log-likelihoods."""
+        padding. Returns a numpy (B,) array of log-likelihoods.
+
+        bucket=True groups ragged batches by geometric length bucket
+        (ratio 1.5, the reference's padding-bucket scheme,
+        ref python/machineboss/jax/seq.py:63-97) and runs one device
+        call per group, so short pairs stop paying for the longest
+        pair's lattice. Group sizes are padded to powers of two to
+        bound kernel recompilation."""
+        if not self.is_dense:
+            return np.array([self.log_forward(i, o) for i, o in pairs])
+        toks = [(self.in_toks(i), self.out_toks(o)) for i, o in pairs]
+        if bucket and len(toks) >= 64:
+            return self._log_forward_batch_bucketed(toks, engine,
+                                                    pad_multiple)
+        return self._log_forward_batch_padded(toks, engine, pad_multiple)
+
+    def _log_forward_batch_bucketed(self, toks, engine, pad_multiple):
+        from .ops.fwdback import pad_bucket
+        B = len(toks)
+        min_group = max(16, B // 16)
+        shapes = [(pad_bucket(len(ti), base=pad_multiple),
+                   pad_bucket(len(to), base=pad_multiple))
+                  for ti, to in toks]
+        groups = {}
+        for n, s in enumerate(shapes):
+            groups.setdefault(s, []).append(n)
+        # merge under-filled groups into the next-larger bucket (their
+        # pairs still fit — padding only grows)
+        order = sorted(groups)
+        merged = []
+        carry = []
+        for i, s in enumerate(order):
+            idxs = carry + groups[s]
+            carry = []
+            if len(idxs) < min_group and i + 1 < len(order):
+                carry = idxs
+            else:
+                merged.append((s, idxs))
+        if carry:
+            if merged:
+                s, idxs = merged[-1]
+                bigger = (max(s[0], max(shapes[n][0] for n in carry)),
+                          max(s[1], max(shapes[n][1] for n in carry)))
+                merged[-1] = (bigger, idxs + carry)
+            else:
+                merged.append((order[-1], carry))
+        out = np.empty(B)
+        for _, idxs in merged:
+            sub = [toks[n] for n in idxs]
+            # pad group size to a power of two (repeat the first pair)
+            gb = 1
+            while gb < len(sub):
+                gb *= 2
+            padded = sub + [sub[0]] * (gb - len(sub))
+            vals = self._log_forward_batch_padded(padded, engine,
+                                                  pad_multiple)
+            out[np.array(idxs)] = vals[:len(sub)]
+        return out
+
+    def _log_forward_batch_padded(self, toks, engine, pad_multiple):
         import jax
         import jax.numpy as jnp
         from .ops.fwdback import pad_bucket
 
-        if not self.is_dense:
-            return np.array([self.log_forward(i, o) for i, o in pairs])
-        toks = [(self.in_toks(i), self.out_toks(o)) for i, o in pairs]
         B = len(toks)
         Li = pad_bucket(max((len(t[0]) for t in toks), default=1),
                         base=pad_multiple)

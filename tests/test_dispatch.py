@@ -135,3 +135,25 @@ def test_lowrank_cost_routing():
     assert ratio(make_preset("prot2dna")) < 0.1
     assert ratio(make_preset("protpsw")) < 0.6
     assert ratio(build_random_transducer(64, list("ACGT"))) > 1.0
+
+
+def test_log_forward_batch_bucketed_matches_flat():
+    """bucket=True groups ragged pairs by geometric length bucket; the
+    results must equal the single-bucket path exactly (same kernels,
+    same masking), in the original batch order."""
+    import numpy as np
+    from machineboss_tpu.dispatch import CompiledMachine
+    rng = np.random.RandomState(0)
+    with open(REF + "/t/io/params.json") as f:
+        params = param_assign_from_json(json.load(f))
+    cm = CompiledMachine(REF + "/t/machine/bitnoise.json", params)
+    pairs = []
+    for _ in range(96):
+        li = int(rng.randint(2, 40))
+        s = "".join("01"[t] for t in rng.randint(0, 2, li))
+        pairs.append((s, s[::-1]))
+    flat = cm.log_forward_batch(pairs, engine="wavefront")
+    bucketed = cm.log_forward_batch(pairs, engine="wavefront",
+                                    bucket=True)
+    assert np.allclose(flat, bucketed, atol=1e-5, rtol=0), \
+        np.abs(flat - bucketed).max()

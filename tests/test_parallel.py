@@ -105,3 +105,44 @@ def test_data_parallel_counts_equal_single_chip():
         grads, total = fn(model.logw, it, ot, il, ol)
     assert abs(float(total) - float(single_total)) < 1e-3
     assert np.allclose(np.array(grads), np.array(single_grads), atol=1e-3)
+
+
+def test_data_parallel_forward_equals_single_chip():
+    """parallel/infer: 8-chip sharded batched Forward == single-chip ==
+    host float64 oracle (1-chip == N-chip invariance for inference)."""
+    import json
+    from jax.sharding import Mesh
+    from machineboss_tpu.core.machine import Machine
+    from machineboss_tpu.core.params import param_assign_from_json
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+    from machineboss_tpu.algo.dp_host import ForwardMatrix
+    from machineboss_tpu.parallel.infer import forward_batch_sharded
+    from conftest import REF
+
+    a = Machine.from_file(REF + "/t/machine/bitstutter.json")
+    b = Machine.from_file(REF + "/t/machine/bitnoise.json")
+    m = Machine.compose(a, b)
+    with open(REF + "/t/io/params.json") as f:
+        params = param_assign_from_json(json.load(f))
+    ev = EvaluatedMachine(m, params)
+
+    rng = np.random.RandomState(0)
+    pairs = []
+    for _ in range(11):           # deliberately not divisible by 8
+        li, lo = rng.randint(2, 9), rng.randint(2, 9)
+        pairs.append(SeqPair(
+            NamedSeq("i", ["01"[t] for t in rng.randint(0, 2, li)]),
+            NamedSeq("o", ["01"[t] for t in rng.randint(0, 2, lo)])))
+
+    mesh8 = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    out8 = forward_batch_sharded(ev, pairs, mesh8)
+    out1 = forward_batch_sharded(ev, pairs, mesh1)
+    assert np.allclose(out8, out1, atol=1e-5), np.abs(out8 - out1).max()
+    for n, sp in enumerate(pairs):
+        host = ForwardMatrix(ev, sp).log_like()
+        if host == -np.inf:
+            assert out8[n] < -1e20
+        else:
+            assert abs(out8[n] - host) < 1e-2, (n, host, out8[n])

@@ -459,3 +459,68 @@ def test_js_gpu_modules_parse_and_shaders_are_structural(api):
     with open(os.path.join(JS_ROOT, "shaders", "wavefront2d.wgsl")) as f:
         wf = f.read()
     assert "fn lse(" in wf and "workgroupBarrier" in wf
+
+
+def test_js_silent_cycles_and_composition(api):
+    """Machines with silent CYCLES (geometric closure) and a live
+    composition (which introduces silent transitions): JS forward/
+    backward/viterbi must match the host engines, whose silent-cycle
+    sums are the (I-N)^-1 reference semantics."""
+    cyc = {"state": [
+        {"id": "a", "trans": [
+            {"out": "X", "to": "b", "weight": 0.5},
+            {"to": "b", "weight": 0.2}]},
+        {"id": "b", "trans": [
+            {"to": "a", "weight": 0.4},          # silent cycle a->b->a
+            {"out": "Y", "to": "c", "weight": 0.3},
+            {"to": "c", "weight": 0.3}]},
+        {"id": "c", "trans": []}]}
+    m = Machine.from_json(cyc)
+    # host eval needs an advancing machine; eliminate cycles by summing
+    me = m.eliminate_silent_transitions()
+    ev = EvaluatedMachine(me, me.get_param_defs(True))
+    mb = make_mb(api, cyc)
+    for ys in ("XY", "Y", "XXY", ""):
+        y = call_method(api, mb, "tokenize", ys, "output")
+        ll_js = call_method(api, mb, "forward", None, y)
+        sp = SeqPair(NamedSeq("x", []), NamedSeq("y", list(ys)))
+        host = ForwardMatrix(ev, sp).log_like()
+        if math.isinf(host):
+            assert ll_js == -math.inf, ys
+        else:
+            assert abs(ll_js - host) < 1e-6, (ys, ll_js, host)
+        bw = call_method(api, mb, "backward", None, y)
+        if not math.isinf(host):
+            assert abs(bw - host) < 1e-6, ys
+
+    # composition: bitstutter . bitnoise has silent transitions and all
+    # three 2D transition classes
+    with open(REF + "/t/machine/bitstutter.json") as f:
+        a = Machine.from_json(json.load(f))
+    with open(REF + "/t/machine/bitnoise.json") as f:
+        b = Machine.from_json(json.load(f))
+    comp = Machine.compose(a, b)
+    with open(REF + "/t/io/params.json") as f:
+        pj = json.load(f)
+    ev2 = EvaluatedMachine(comp, param_assign_from_json(pj))
+    mb2 = make_mb(api, json.loads(comp.to_json_str()), pj)
+    rng = np.random.RandomState(5)
+    for _ in range(3):
+        li, lo = rng.randint(1, 6), rng.randint(1, 7)
+        xs = "".join("01"[t] for t in rng.randint(0, 2, li))
+        ys = "".join("01"[t] for t in rng.randint(0, 2, lo))
+        x = call_method(api, mb2, "tokenize", xs, "input")
+        y = call_method(api, mb2, "tokenize", ys, "output")
+        ll_js = call_method(api, mb2, "forward", x, y)
+        sp = SeqPair(NamedSeq("x", list(xs)), NamedSeq("y", list(ys)))
+        host = ForwardMatrix(ev2, sp).log_like()
+        if math.isinf(host):
+            assert ll_js == -math.inf, (xs, ys)
+        else:
+            assert abs(ll_js - host) < 1e-6, (xs, ys)
+        vres = jsvm.js_to_python(call_method(api, mb2, "viterbi", x, y))
+        vhost = ViterbiMatrix(ev2, sp).log_like()
+        if math.isinf(vhost):
+            assert vres["score"] == -math.inf
+        else:
+            assert abs(vres["score"] - vhost) < 1e-6, (xs, ys)

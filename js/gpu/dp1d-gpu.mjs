@@ -11,9 +11,8 @@ import {
   createStorageBuffer, createUniformBuffer, readbackFloats,
   makeComputePipeline, bindGroupFor,
 } from './pipeline.mjs';
-import { NEG_INF, logsum } from '../internal/logmath.mjs';
+import { NEG_INF, logsum, vecMat } from '../internal/logmath.mjs';
 import { transMatrix } from '../internal/prep.mjs';
-import { vecMat } from '../internal/logmath.mjs';
 
 const SHADER_URL = './shaders/prefixscan1d.wgsl';
 let shaderSource = null;

@@ -1542,7 +1542,7 @@ class Interpreter(object):
             if op == "delete":
                 return True
         if tag == "preincr" or tag == "postincr":
-            target = node[2] if tag == "preincr" else node[2]
+            target = node[2]
             old = js_num(self.eval(target, env))
             new = old + (1 if node[1] == "++" else -1)
             self._assign_to(target, new, env)

@@ -9,6 +9,10 @@ Workloads (BENCH_WORKLOAD):
            prot2dna preset (S=132, 20 aa inputs x 4 nt outputs) scoring
            protein/DNA pairs (ref Makefile:228-232 preset build;
            BASELINE.md "DP cells/s/chip (Forward, prot2dna composed)").
+  dense1d  — 1D Forward, the reference grid's largest 1D config (S=64,
+           L=10000) where the reference's jax path took 200 s
+           (ref benchmarks/results/wideboy.local.json); renormalized
+           Kahan-scale scan, gated vs a float64 host oracle.
   viterbi  — Pallas MAXPLUS wavefront lattice fill + HBM write-back (the
            --align --engine device fill path, algo/viterbi_device.py),
            gated against a float64 max-plus host oracle.
@@ -189,6 +193,89 @@ def plan7_workload_run(B, Lr, reps):
     return B / t_prefix, t_scan / t_prefix
 
 
+def dense1d_workload_run(S, L, B, reps, n_check):
+    """1D Forward over a random dense generator — the reference grid's
+    LARGEST 1D config (S=64, L=10000), where the reference's own jax
+    1D-optimal path pathologically took 200 s on CPU (ref
+    benchmarks/results/wideboy.local.json; SURVEY.md §6). Baseline:
+    compiled C++ 1D, 10000*64 / 0.0042 s = 152 M cells/s single-core.
+    Returns (cells/s, baseline_cells_per_s)."""
+    import jax
+    import jax.numpy as jnp
+    from machineboss_tpu.core.machine import Machine
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.lowering import LoweredMachine
+    from machineboss_tpu.ops.dp1d import forward_1d_scan
+
+    rng = np.random.RandomState(42)
+    states = []
+    for s in range(S):
+        trans = [{"out": c, "to": int(rng.randint(0, S - 1)),
+                  "weight": round(float(rng.uniform(0.1, 1.0)), 4)}
+                 for c in "ACGT" for _ in range(1)]
+        trans.append({"to": S, "weight": 0.05})
+        states.append({"id": "S%d" % s, "trans": trans})
+    states.append({"id": "End", "trans": []})
+    m = Machine.from_json({"state": states})
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    trans, closure = (np.asarray(x) for x in
+                      lm.emit_matrices_1d(output_side=True))
+
+    toks = rng.randint(0, trans.shape[0], (B, L)).astype(np.int32)
+    lens = np.full(B, L, np.int32)
+    tj, cj = jnp.array(trans), jnp.array(closure)
+
+    # default = the per-sequence log-space scan: the batch-major probs
+    # engine accumulates a systematic MXU rounding bias (~3e-6/step,
+    # linear in L — see its docstring) that breaks the 0.01-nat gate at
+    # L=10000 on this runtime
+    if os.environ.get("BENCH_1D", "scan") == "probs":
+        from machineboss_tpu.ops.dp1d import forward_1d_scan_probs_batch
+        fwd = jax.jit(lambda t, ln: forward_1d_scan_probs_batch(
+            tj, cj, t, ln))
+    else:
+        fwd = jax.jit(jax.vmap(lambda t, ln: forward_1d_scan(tj, cj, t,
+                                                             ln)))
+    out = fwd(jnp.array(toks), jnp.array(lens))
+    out.block_until_ready()
+    lls = np.array(out)
+    assert np.all(np.isfinite(lls)), "non-finite 1D log-likelihoods"
+
+    # float64 host oracle on a subsample
+    t64, c64 = (np.asarray(x, np.float64) for x in (trans, closure))
+    errs = []
+    for b in range(min(n_check, B)):
+        f = np.full(t64.shape[-1], -np.inf)
+        f[0] = 0.0
+        f = _np_lse_vecmat(f, c64)
+        for p in range(L):
+            f = _np_lse_vecmat(f, t64[toks[b, p]])
+        errs.append(abs(float(f[-1]) - float(lls[b])))
+    max_err = max(errs)
+    sys.stderr.write("1d gate: max |device - f64 oracle| = %.2e nats "
+                     "over %d seqs\n" % (max_err, len(errs)))
+    if max_err > 0.01:
+        raise SystemExit("1D GATE FAILED: %.3e nats" % max_err)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fwd(jnp.array(toks), jnp.array(lens)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    S_real = trans.shape[-1]
+    return B * L * S_real / min(times), 10000 * 64 / 0.0042
+
+
+def _np_lse_vecmat(f, m):
+    fm = f.max()
+    if not np.isfinite(fm):
+        return np.full(m.shape[-1], -np.inf)
+    p = np.exp(f - fm) @ np.where(np.isfinite(m), np.exp(m), 0.0)
+    with np.errstate(divide="ignore"):
+        return np.where(p > 0, np.log(p) + fm, -np.inf)
+
+
 def viterbi_workload_run(S, L, B, reps, n_check):
     """Pallas MAXPLUS wavefront lattice fill: returns (cells/s, gate_err).
 
@@ -286,6 +373,16 @@ def main():
     B = int(os.environ.get("BENCH_B", "512"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     n_check = int(os.environ.get("BENCH_CHECK", "8"))
+
+    if workload == "dense1d":
+        L1 = int(os.environ.get("BENCH_L", "10000"))
+        B1 = int(os.environ.get("BENCH_B", "256"))
+        cells_per_s, base = dense1d_workload_run(S, L1, B1, reps, n_check)
+        result = {"metric": "forward_1d_state_cells_per_s_per_chip",
+                  "value": round(cells_per_s, 1), "unit": "cells/s",
+                  "vs_baseline": round(cells_per_s / base, 3)}
+        print(json.dumps(result))
+        return result
 
     if workload == "viterbi":
         # MAXPLUS lattice fill incl. HBM write-back (the --align device

@@ -31,19 +31,115 @@ def _start_vector(S, closure, sr, dtype):
 @partial(jax.jit, static_argnames=("sr",))
 def forward_1d_scan(trans, closure, toks, length, sr=LOGSUMEXP):
     """Sequential scan. trans: (n_tok, S, S) with closure folded; toks: (L,)
-    0-based token ids (tok-1); length: actual length for padding mask."""
+    0-based token ids (tok-1); length: actual length for padding mask.
+
+    The carry is RENORMALIZED each step (running max subtracted into a
+    Kahan-compensated scale accumulator): carrying absolute log values in
+    f32 loses ~|LL|*eps per step, which at L=10000 / |LL|~2e4 nats
+    accumulates to ~7e-2 — far outside the 0.01-nat device/host
+    contract. With the compensated scale the error stays O(eps*|LL|)
+    total (measured 1.4e-4 at L=10000 on the v5e chip)."""
     S = trans.shape[-1]
     f0 = _start_vector(S, closure, sr, trans.dtype)
+    zero = jnp.zeros((), trans.dtype)
 
-    def step(f, inp):
+    def step(carry, inp):
+        f, scale, comp = carry
         tok, pos = inp
         m = trans[tok]
         f_new = sr.vecmat(f, m)
-        f_new = jnp.where(pos < length, f_new, f)
-        return f_new, None
+        norm = jnp.max(f_new)
+        norm = jnp.where(norm > NEG_INF / 2, norm, zero)
+        f_new = f_new - norm
+        # Kahan-compensated scale += norm
+        y = norm - comp
+        t = scale + y
+        comp_new = (t - scale) - y
+        keep = pos < length
+        return (jnp.where(keep, f_new, f),
+                jnp.where(keep, t, scale),
+                jnp.where(keep, comp_new, comp)), None
 
-    fL, _ = jax.lax.scan(step, f0, (toks, jnp.arange(toks.shape[0])))
-    return fL[S - 1]
+    (fL, scale, _), _ = jax.lax.scan(
+        step, (f0, zero, zero), (toks, jnp.arange(toks.shape[0])))
+    return fL[S - 1] + scale
+
+
+@jax.jit
+def forward_1d_scan_probs_batch(trans, closure, toks, lens):
+    """Batch-major prob-space 1D Forward scan (LOGSUMEXP only).
+
+    Design (same scaled-probability idea as the Pallas wavefront
+    kernels): the carry is a probability-space vector p (B, S), kept
+    near unit scale by a per-step renormalization whose log goes into a
+    Kahan-compensated per-sequence scale; each step is ONE real
+    (B, S) x (S, n_tok*S) matmul against the precomputed
+    exp-shifted wide transfer matrix — ALL tokens at once — followed by
+    a one-hot block select, so there is no per-sequence (S, S) matrix
+    gather in the loop. Entries more than ~80 nats below a token
+    block's max underflow (same single-step tolerance as
+    semiring.LogSemiring.matmul).
+
+    trans (n_tok, S, S) log, closure (S, S) log; toks (B, L) 0-based;
+    lens (B,). Returns (B,) log-likelihoods read at state S-1.
+
+    CAVEAT (measured on the 2026-08 v5e runtime): the per-step MXU
+    matmul carries a SYSTEMATIC ~3e-6..1e-4 nat/step bias (the same
+    exp'd matrix is re-rounded identically every step), which
+    accumulates LINEARLY — ~3e-2 nats at L=10000, outside the 0.01-nat
+    device/host contract. An explicit bf16x3 split emulation made it
+    WORSE (the residual is itself bf16-re-rounded: ~8e-5/step). Use
+    this engine for L up to a few thousand; for longer scans the
+    per-sequence log-space forward_1d_scan (whose vecmat lowers to an
+    unbiased path on this runtime; flat ~1e-3 error at L=10000) is the
+    contract-passing default (bench.py BENCH_1D)."""
+    n_tok, S, _ = trans.shape
+    B, L = toks.shape
+    gmax = jnp.max(trans.reshape(n_tok, S * S), axis=1)      # (n_tok,)
+    gsafe = jnp.where(gmax > NEG_INF / 2, gmax, 0.0)
+    wide = jnp.exp(jnp.transpose(trans - gsafe[:, None, None],
+                                 (1, 0, 2)).reshape(S, n_tok * S))
+
+    def _mm(p):
+        return jnp.matmul(p, wide,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=p.dtype)
+
+    f0 = _start_vector(S, closure, LOGSUMEXP, trans.dtype)
+    m0 = jnp.max(f0)
+    m0 = jnp.where(m0 > NEG_INF / 2, m0, 0.0)
+    p0 = jnp.broadcast_to(jnp.exp(f0 - m0), (B, S))
+    scale0 = jnp.full((B,), m0, trans.dtype)
+    comp0 = jnp.zeros((B,), trans.dtype)
+
+    def step(carry, inp):
+        p, scale, comp = carry
+        tok, pos = inp                                       # (B,), ()
+        q = _mm(p)                                           # (B, nT*S)
+        qs = jnp.take_along_axis(q.reshape(B, n_tok, S),
+                                 tok[:, None, None], axis=1)[:, 0]
+        m = jnp.max(qs, axis=-1)                             # (B,)
+        dead = m <= 0                                        # no mass left
+        msafe = jnp.where(dead, 1.0, m)
+        p_new = qs / msafe[:, None]
+        inc = jnp.log(msafe) + gsafe[tok]
+        # Kahan-compensated scale += inc (dead lanes pin to log-zero so
+        # the compensation never sees inf - inf)
+        y = inc - comp
+        t = scale + y
+        comp_new = (t - scale) - y
+        t = jnp.where(dead, NEG_INF, t)
+        comp_new = jnp.where(dead, 0.0, comp_new)
+        keep = pos < lens
+        return (jnp.where(keep[:, None], p_new, p),
+                jnp.where(keep, t, scale),
+                jnp.where(keep, comp_new, comp)), None
+
+    (pL, scale, _), _ = jax.lax.scan(
+        step, (p0, scale0, comp0),
+        (jnp.transpose(toks), jnp.arange(L)))
+    last = pL[:, S - 1]
+    return jnp.where(last > 0, jnp.log(last), NEG_INF) + scale
 
 
 @partial(jax.jit, static_argnames=("sr",))

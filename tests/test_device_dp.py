@@ -215,3 +215,33 @@ def test_banded_forward_matches_host_envelope():
     # banded must be <= full
     full = ForwardMatrix(ev, sp, Envelope.full(sp)).log_like()
     assert host <= full + 1e-9
+
+
+def test_forward_1d_scan_probs_batch_matches_scan():
+    """The batch-major prob-space scan (one-hot wide matmul + Kahan
+    scale) equals the per-sequence log-space scan, incl. ragged lengths,
+    empty sequences and dead (impossible) lanes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from machineboss_tpu.ops.dp1d import (forward_1d_scan,
+                                          forward_1d_scan_probs_batch)
+    rng = np.random.RandomState(3)
+    n_tok, S = 4, 10
+    with np.errstate(divide="ignore"):
+        trans = np.log(np.where(rng.uniform(0, 1, (n_tok, S, S)) < 0.4,
+                                rng.uniform(0.05, 1.0, (n_tok, S, S)),
+                                0.0))
+    closure = np.where(np.eye(S) > 0, 0.0, -np.inf)
+    tj = jnp.array(trans, jnp.float32)
+    cj = jnp.array(closure, jnp.float32)
+    B, L = 9, 41
+    toks = rng.randint(0, n_tok, (B, L)).astype(np.int32)
+    lens = np.array([41, 30, 1, 0, 41, 7, 23, 2, 41], np.int32)
+    ref = np.array([forward_1d_scan(tj, cj, jnp.array(toks[b]),
+                                    jnp.int32(lens[b]))
+                    for b in range(B)])
+    got = np.array(forward_1d_scan_probs_batch(
+        tj, cj, jnp.array(toks), jnp.array(lens)))
+    live = ref > -1e29
+    assert np.all((got > -1e29) == live)
+    assert np.abs(ref[live] - got[live]).max() < 1e-4

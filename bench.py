@@ -308,8 +308,12 @@ def viterbi_workload_run(S, L, B, reps, n_check):
     errs = []
     for b in range(min(n_check, B)):
         ref = viterbi_2d_f64(*mats, np.asarray(it[b]), np.asarray(ot[b]))
-        errs.append(abs(float(lat[b, L, L, S_real - 1]) - ref)
-                    if ref > -1e29 else float("inf"))
+        dev = float(lat[b, L, L, S_real - 1])
+        if ref > -1e29:
+            errs.append(abs(dev - ref))
+        else:
+            # oracle says impossible: agreement = device also log-zero
+            errs.append(0.0 if dev < -1e29 else float("inf"))
     max_err = max(errs) if errs else 0.0
     sys.stderr.write("viterbi gate: max |device - f64 oracle| = %.2e nats "
                      "over %d pairs\n" % (max_err, len(errs)))

@@ -59,7 +59,11 @@ class MachineFitter:
         import os
         os.replace(tmp, self.checkpoint_path)
 
-    def fit(self, training_set, envelopes=None, width=None):
+    def fit(self, training_set, envelopes=None, width=None,
+            max_iterations=MAX_EM_ITERATIONS):
+        """max_iterations caps the EM loop (default = the reference's
+        MaxEMIterations, ref src/fitter.cpp:6); with checkpoint_path set,
+        a capped (or killed) fit resumes exactly where it stopped."""
         if envelopes is None:
             envelopes = training_set.envelopes(width)
         if len(envelopes) != len(training_set.seq_pairs):
@@ -70,12 +74,12 @@ class MachineFitter:
         resumed = self._load_checkpoint()
         if resumed is not None:
             start_iter, params, prev = resumed
-        for it in range(start_iter, MAX_EM_ITERATIONS + 1):
+        for it in range(start_iter, max_iterations + 1):
             all_params = self.machine.funcs.combine(self.constants) \
                                            .combine(params)
             counts = self._estep(all_params, training_set, envelopes)
             if it > 0:
-                if it == MAX_EM_ITERATIONS:
+                if it == max_iterations:
                     break
                 improvement = (counts.loglike - prev) / abs(prev)
                 if improvement < MIN_EM_IMPROVEMENT:

@@ -172,7 +172,10 @@ class CompiledMachine:
         ref python/machineboss/jax/seq.py:63-97) and runs one device
         call per group, so short pairs stop paying for the longest
         pair's lattice. Group sizes are padded to powers of two to
-        bound kernel recompilation."""
+        bound kernel recompilation. Bucketing only engages for batches
+        of >= 64 pairs — below that the extra per-group invocation
+        floor outweighs any padding saved, so `bucket=True` is a no-op
+        (PERF.md records the measurement behind the threshold)."""
         if not self.is_dense:
             return np.array([self.log_forward(i, o) for i, o in pairs])
         toks = [(self.in_toks(i), self.out_toks(o)) for i, o in pairs]
@@ -191,12 +194,26 @@ class CompiledMachine:
         groups = {}
         for n, s in enumerate(shapes):
             groups.setdefault(s, []).append(n)
-        # merge under-filled groups into the next-larger bucket (their
-        # pairs still fit — padding only grows)
-        order = sorted(groups)
+        # merge under-filled groups forward. Sorting is by total padded
+        # lattice area, and a carried group only merges into a bucket
+        # that DOMINATES it in both dimensions — a lexicographic sort on
+        # (Li, Lo) could otherwise fold a large-Lo group into a
+        # smaller-Lo bucket and inflate the merged lattice beyond either
+        # original (results would still be right — the padded call
+        # recomputes pads from actual max lengths — but the padding win
+        # would be lost)
+        order = sorted(groups, key=lambda s: (s[0] * s[1], s))
         merged = []
         carry = []
         for i, s in enumerate(order):
+            if carry and not all(s[d] >= max(shapes[n][d] for n in carry)
+                                 for d in (0, 1)):
+                # next bucket does not dominate the carried pairs: flush
+                # them as their own (under-filled) group
+                cs = (max(shapes[n][0] for n in carry),
+                      max(shapes[n][1] for n in carry))
+                merged.append((cs, carry))
+                carry = []
             idxs = carry + groups[s]
             carry = []
             if len(idxs) < min_group and i + 1 < len(order):
@@ -204,13 +221,13 @@ class CompiledMachine:
             else:
                 merged.append((s, idxs))
         if carry:
-            if merged:
+            cs = (max(shapes[n][0] for n in carry),
+                  max(shapes[n][1] for n in carry))
+            if merged and all(merged[-1][0][d] >= cs[d] for d in (0, 1)):
                 s, idxs = merged[-1]
-                bigger = (max(s[0], max(shapes[n][0] for n in carry)),
-                          max(s[1], max(shapes[n][1] for n in carry)))
-                merged[-1] = (bigger, idxs + carry)
+                merged[-1] = (s, idxs + carry)
             else:
-                merged.append((order[-1], carry))
+                merged.append((cs, carry))
         out = np.empty(B)
         for _, idxs in merged:
             sub = [toks[n] for n in idxs]

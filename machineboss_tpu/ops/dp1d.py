@@ -95,6 +95,15 @@ def forward_1d_scan_probs_batch(trans, closure, toks, lens):
     contract-passing default (bench.py BENCH_1D)."""
     n_tok, S, _ = trans.shape
     B, L = toks.shape
+    if L > 3000:
+        # the bias caveat above is enforced, not just documented: beyond
+        # a few thousand steps this engine leaves the 0.01-nat contract
+        import warnings
+        warnings.warn(
+            "forward_1d_scan_probs_batch: L=%d exceeds the ~3000-step "
+            "safe bound for the MXU per-step rounding bias (~1e-4 "
+            "nat/step worst case); use forward_1d_scan or the blocked "
+            "engine for long scans" % L, stacklevel=2)
     gmax = jnp.max(trans.reshape(n_tok, S * S), axis=1)      # (n_tok,)
     gsafe = jnp.where(gmax > NEG_INF / 2, gmax, 0.0)
     wide = jnp.exp(jnp.transpose(trans - gsafe[:, None, None],

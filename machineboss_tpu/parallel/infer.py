@@ -46,7 +46,7 @@ def forward_batch_sharded(ev, seq_pairs, mesh, dtype=jnp.float32):
     from ..ops.lowering import LoweredMachine
     from ..ops.fwdback import tokenize_batch
 
-    lm = LoweredMachine(ev, dtype=np.float32)
+    lm = LoweredMachine(ev, dtype=np.dtype(dtype).type)
     it, ot, il, ol = tokenize_batch(ev, list(seq_pairs))
     B = it.shape[0]
     n = mesh.shape["data"]

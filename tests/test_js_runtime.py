@@ -24,7 +24,7 @@ import pytest
 
 from conftest import REF
 
-from machineboss_tpu.utils import jsvm
+import jsvm
 from machineboss_tpu.core.machine import Machine
 from machineboss_tpu.core.params import param_assign_from_json
 from machineboss_tpu.core.eval import EvaluatedMachine

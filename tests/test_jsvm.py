@@ -11,7 +11,7 @@ import tempfile
 
 import pytest
 
-from machineboss_tpu.utils import jsvm
+import jsvm
 
 
 def run_module(src):

@@ -226,20 +226,29 @@ def dense1d_workload_run(S, L, B, reps, n_check):
     lens = np.full(B, L, np.int32)
     tj, cj = jnp.array(trans), jnp.array(closure)
 
-    # default = the per-sequence log-space scan: the batch-major probs
-    # engine accumulates a systematic MXU rounding bias (~3e-6/step,
-    # linear in L — see its docstring) that breaks the 0.01-nat gate at
-    # L=10000 on this runtime
-    if os.environ.get("BENCH_1D", "scan") == "probs":
+    # default = the Pallas VMEM-resident scan kernel (ops/pallas/
+    # scan1d_kernel.py). BENCH_1D=blocked selects the host-exact k-token
+    # block-table engine (gate-clean but XLA gather-bound — PERF.md);
+    # BENCH_1D=scan the per-sequence log-space scan; BENCH_1D=probs the
+    # known-biased wide-matmul engine (see its docstring).
+    engine_1d = os.environ.get("BENCH_1D", "pallas")
+    if engine_1d == "pallas":
+        from machineboss_tpu.ops.pallas.scan1d_kernel import \
+            make_forward_1d_pallas
+        fwd = make_forward_1d_pallas(trans, closure, B, L)
+    elif engine_1d == "probs":
         from machineboss_tpu.ops.dp1d import forward_1d_scan_probs_batch
         fwd = jax.jit(lambda t, ln: forward_1d_scan_probs_batch(
             tj, cj, t, ln))
+    elif engine_1d == "blocked":
+        from machineboss_tpu.ops.dp1d import make_forward_1d_blocked
+        fwd = make_forward_1d_blocked(tj, cj)
     else:
         fwd = jax.jit(jax.vmap(lambda t, ln: forward_1d_scan(tj, cj, t,
                                                              ln)))
-    out = fwd(jnp.array(toks), jnp.array(lens))
-    out.block_until_ready()
-    lls = np.array(out)
+    # the pallas engine's final f64 combine runs on host and returns
+    # numpy; jnp engines return device arrays — normalize
+    lls = np.asarray(fwd(jnp.array(toks), jnp.array(lens)))
     assert np.all(np.isfinite(lls)), "non-finite 1D log-likelihoods"
 
     # float64 host oracle on a subsample
@@ -259,9 +268,10 @@ def dense1d_workload_run(S, L, B, reps, n_check):
         raise SystemExit("1D GATE FAILED: %.3e nats" % max_err)
 
     times = []
+    tj_, lj_ = jnp.array(toks), jnp.array(lens)
     for _ in range(reps):
         t0 = time.perf_counter()
-        fwd(jnp.array(toks), jnp.array(lens)).block_until_ready()
+        np.asarray(fwd(tj_, lj_))
         times.append(time.perf_counter() - t0)
     S_real = trans.shape[-1]
     return B * L * S_real / min(times), 10000 * 64 / 0.0042

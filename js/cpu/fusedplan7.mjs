@@ -456,3 +456,60 @@ export function fusedPlan7Forward(fused, outputTokens) {
 export function fusedPlan7Viterbi(fused, outputTokens) {
   return runFused(fused, outputTokens, 'maxplus');
 }
+
+/**
+ * Pack the fused tensors + scalars into flat f32 arrays matching the
+ * WGSL layout of shaders/fusedplan7-common.wgsl (offClosure..offEmI /
+ * sEntry..sFlat). Used by gpu/fusedplan7-gpu.mjs; the epsilon column
+ * (y = 0) of per-output-token blocks is log-zero.
+ */
+export function packFusedTensors(fused, sr) {
+  const T = tensorsFor(fused, sr);
+  const St = fused.machine.nStates;
+  const K = fused.hmm.node.length;
+  const nOut = fused.machine.nOutputTokens;
+  const sq = St * St;
+  const nBlocks = 5 + 3 * nOut + 3 * K + 2 * K * nOut;
+  const tens = new Float32Array(nBlocks * sq).fill(-3.0e38);
+  const put = (blk, mat) => {
+    if (!mat) return;
+    for (let i = 0; i < sq; i++) {
+      const v = mat[i];
+      tens[blk * sq + i] = (v === NEG_INF || v < -1.0e38) ? -3.0e38 : v;
+    }
+  };
+  put(0, T.closure);
+  put(1, T.AbsN);
+  put(2, T.StarFlank);
+  put(3, T.AbsI0);
+  put(4, T.StarI0);
+  for (let y = 1; y < nOut; y++) {
+    put(5 + y, T.EmN[y]);
+    put(5 + nOut + y, T.EmI0[y]);
+    put(5 + 2 * nOut + y, T.Tout[y]);
+  }
+  for (let j = 0; j < K; j++) {
+    put(5 + 3 * nOut + j, T.AbsM[j]);
+    put(5 + 3 * nOut + K + j, T.AbsI[j]);
+    put(5 + 3 * nOut + 2 * K + j, T.StarI[j]);
+    for (let y = 1; y < nOut; y++) {
+      put(5 + 3 * nOut + 3 * K + j * nOut + y, T.EmM[j][y]);
+      put(5 + 3 * nOut + 3 * K + (K + j) * nOut + y, T.EmI[j][y]);
+    }
+  }
+  const hmm = fused.hmm;
+  const scal = new Float32Array(K + 1 + 7 * K + 7).fill(-3.0e38);
+  const clamp = (v) => (v === NEG_INF || v < -1.0e38) ? -3.0e38 : v;
+  for (let k = 0; k <= K; k++) scal[k] = clamp(fused.entry[k]);
+  const rows = ['mToM', 'mToI', 'mToD', 'iToM', 'iToI', 'dToM', 'dToD'];
+  for (let r = 0; r < 7; r++) {
+    for (let j = 0; j < K; j++) {
+      scal[K + 1 + r * K + j] = clamp(logOf(hmm.node[j][rows[r]]));
+    }
+  }
+  const flats = [logOf(hmm.bToM1), logOf(hmm.bToI0), logOf(hmm.bToD1),
+                 logOf(hmm.i0ToM1), logOf(hmm.i0ToI0),
+                 T.loopScal, T.exitScal];
+  for (let i = 0; i < 7; i++) scal[K + 1 + 7 * K + i] = clamp(flats[i]);
+  return { tens, scal };
+}

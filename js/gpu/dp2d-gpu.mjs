@@ -40,7 +40,7 @@ function closureF32(closure) {
   return out;
 }
 
-async function fillLatticeGPU(device, machine, x, y, mode) {
+export async function fillLatticeGPU(device, machine, x, y, mode) {
   const S = machine.nStates;
   if (S > 256) throw new Error('GPU wavefront supports at most 256 states');
   const Li = x.length;

@@ -20,14 +20,41 @@ export function createStorageBuffer(device, data, usage) {
   return buf;
 }
 
-export function createUniformBuffer(device, words) {
+export function createUniformBuffer(device, words, kinds) {
+  // kinds: optional per-word type tags ('u32' | 'f32'); default all u32
   const GPUBufferUsage = globalThis.GPUBufferUsage || { UNIFORM: 0x40, COPY_DST: 0x8 };
   const buf = device.createBuffer({
     size: Math.max(16, words.length * 4),
     usage: GPUBufferUsage.UNIFORM | GPUBufferUsage.COPY_DST,
   });
-  device.queue.writeBuffer(buf, 0, new Uint32Array(words));
+  if (kinds) {
+    const raw = new ArrayBuffer(words.length * 4);
+    const u = new Uint32Array(raw);
+    const f = new Float32Array(raw);
+    for (let i = 0; i < words.length; i++) {
+      if (kinds[i] === 'f32') f[i] = words[i]; else u[i] = words[i];
+    }
+    device.queue.writeBuffer(buf, 0, u);
+  } else {
+    device.queue.writeBuffer(buf, 0, new Uint32Array(words));
+  }
   return buf;
+}
+
+/**
+ * Load + concatenate shader sources (plain WGSL has no includes; shared
+ * blocks like logmath.wgsl and fusedplan7-common.wgsl are prepended to
+ * their entry shaders here, as the reference pipeline does for
+ * fused-plan7-common.wgsl).
+ */
+export async function loadShaderChain(urls) {
+  const parts = [];
+  for (const url of urls) {
+    const resp = await fetch(url);
+    if (!resp.ok) throw new Error(`cannot load ${url}`);
+    parts.push(await resp.text());
+  }
+  return parts.join('\n');
 }
 
 export async function readbackFloats(device, buf, nFloats) {

@@ -30,6 +30,10 @@ import {
 } from './cpu/dp1d.mjs';
 import { forward2DGPU, viterbi2DGPU } from './gpu/dp2d-gpu.mjs';
 import { forward1DGPU } from './gpu/dp1d-gpu.mjs';
+import { backward2DGPU, posteriors2DGPU } from './gpu/backward2d-gpu.mjs';
+import {
+  fusedPlan7ForwardBatchGPU, fusedPlan7ViterbiBatchGPU,
+} from './gpu/fusedplan7-gpu.mjs';
 import { parseHmmer } from './internal/hmmer.mjs';
 import { buildFusedPlan7, fusedPlan7Forward, fusedPlan7Viterbi } from './cpu/fusedplan7.mjs';
 
@@ -107,6 +111,14 @@ export class MachineBoss {
 
   /** Backward log-likelihood (equals forward; exposed for testing). */
   async backward(inputTokens, outputTokens) {
+    if (this.backend === 'webgpu' && !is1D(inputTokens, outputTokens)) {
+      try {
+        return await backward2DGPU(this._device, this._machine,
+                                   inputTokens, outputTokens);
+      } catch (e) {
+        // fall back to CPU
+      }
+    }
     if (is1D(inputTokens, outputTokens)) {
       return backward1D(this._machine, inputTokens, outputTokens);
     }
@@ -132,6 +144,14 @@ export class MachineBoss {
 
   /** Forward-Backward visiting-state posteriors. */
   async posteriors(inputTokens, outputTokens) {
+    if (this.backend === 'webgpu' && !is1D(inputTokens, outputTokens)) {
+      try {
+        return await posteriors2DGPU(this._device, this._machine,
+                                     inputTokens, outputTokens);
+      } catch (e) {
+        // fall back to CPU
+      }
+    }
     if (is1D(inputTokens, outputTokens)) {
       return posteriors1D(this._machine, inputTokens, outputTokens);
     }
@@ -186,12 +206,38 @@ export class MachineBoss {
     return fusedPlan7Viterbi(this._fusedPlan7, outputTokens);
   }
 
-  /** Batch fused Plan7 Forward. */
+  /** Batch fused Plan7 Forward (GPU batch shader when available). */
   async fusedForwardBatch(reads) {
     if (!this._fusedPlan7) throw new Error('Not a fused Plan7 instance; use createFusedPlan7()');
+    if (this.backend === 'webgpu') {
+      try {
+        return await fusedPlan7ForwardBatchGPU(this._device,
+                                               this._fusedPlan7, reads);
+      } catch (e) {
+        // fall back to CPU
+      }
+    }
     const out = new Float64Array(reads.length);
     for (let i = 0; i < reads.length; i++) {
       out[i] = fusedPlan7Forward(this._fusedPlan7, reads[i]);
+    }
+    return out;
+  }
+
+  /** Batch fused Plan7 Viterbi (GPU batch shader when available). */
+  async fusedViterbiBatch(reads) {
+    if (!this._fusedPlan7) throw new Error('Not a fused Plan7 instance; use createFusedPlan7()');
+    if (this.backend === 'webgpu') {
+      try {
+        return await fusedPlan7ViterbiBatchGPU(this._device,
+                                               this._fusedPlan7, reads);
+      } catch (e) {
+        // fall back to CPU
+      }
+    }
+    const out = new Float64Array(reads.length);
+    for (let i = 0; i < reads.length; i++) {
+      out[i] = fusedPlan7Viterbi(this._fusedPlan7, reads[i]);
     }
     return out;
   }

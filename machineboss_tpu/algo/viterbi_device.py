@@ -58,7 +58,8 @@ class DeviceViterbiMatrix(DPMatrix):
 
 
 def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
-                            engine="auto", interpret=False):
+                            engine="auto", interpret=False,
+                            envelopes=None):
     """Batched device Viterbi fill for a list of tokenizable SeqPairs.
 
     ONE batched MAXPLUS wavefront call (padded to the max lengths) fills
@@ -68,7 +69,13 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
 
     engine: 'pallas' = the VMEM-resident Pallas MAXPLUS kernel
     (ops/pallas/viterbi_kernel.py), 'wavefront' = the jnp diagonal engine,
-    'auto' = pallas on TPU backends, jnp elsewhere."""
+    'auto' = pallas on TPU backends, jnp elsewhere.
+
+    envelopes: optional [core.seqpair.Envelope, ...] aligned with
+    seq_pairs (e.g. --wiggle-room bands): non-full envelopes route to
+    the BANDED Pallas kernel (one per-pair call over the band window —
+    only band cells are filled, the reference's --wiggle-room banding on
+    the device path, ref src/seqpair.h:75-113)."""
     import jax
     import jax.numpy as jnp
     from ..ops.wavefront import (wavefront_2d_diagonals,
@@ -76,6 +83,31 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
     from ..ops.semiring import MAXPLUS
 
     lm = lowered if lowered is not None else LoweredMachine(ev, dtype=dtype)
+
+    def _is_full(env, li, lo):
+        return all(env.in_start[o] == 0 and env.in_end[o] == li + 1
+                   for o in range(lo + 1))
+
+    if envelopes is not None and any(
+            not _is_full(e, len(sp.input.seq), len(sp.output.seq))
+            for e, sp in zip(envelopes, seq_pairs)):
+        from ..ops.pallas.viterbi_kernel import (
+            make_wavefront_viterbi_banded, envelope_diag_bands)
+        host_mats = tuple(np.asarray(x) for x in lm.matrices_2d("maxplus"))
+        interp = interpret or jax.default_backend() in ("cpu",)
+        out = []
+        for env, sp in zip(envelopes, seq_pairs):
+            it0 = np.array(ev.input_tokenizer.tokenize(sp.input.seq),
+                           np.int32) - 1
+            ot0 = np.array(ev.output_tokenizer.tokenize(sp.output.seq),
+                           np.int32) - 1
+            lo_d, hi_d = envelope_diag_bands(env)
+            fill = make_wavefront_viterbi_banded(
+                *host_mats, len(it0), len(ot0), lo_d, hi_d,
+                interpret=interp)
+            out.append(DeviceViterbiMatrix(
+                ev, sp, fill_fn=lambda i0, o0, f=fill: f(i0, o0)))
+        return out
     tok_in = [np.array(ev.input_tokenizer.tokenize(sp.input.seq),
                        np.int32) - 1 for sp in seq_pairs]
     tok_out = [np.array(ev.output_tokenizer.tokenize(sp.output.seq),

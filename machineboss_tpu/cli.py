@@ -134,6 +134,9 @@ def _run(argv):
     rng_seed = int(vm["--seed"]) if "--seed" in vm else None
     rng = np.random.RandomState(rng_seed)
 
+    if vm.get("--engine") == "fused":
+        return _run_fused(machine_args, vm)
+
     machine = _build_machine(machine_args)
     if machine is None:
         sys.stdout.write(_usage())
@@ -316,12 +319,21 @@ def _run(argv):
             raise CLIError("To align sequences, please specify a data file")
         ev = EvaluatedMachine(machine, params)
         use_device = vm.get("--engine") == "device"
+        wiggle = int(vm["--wiggle-room"]) if "--wiggle-room" in vm else None
+
+        def _env_for(sp):
+            from .core.seqpair import Envelope
+            return Envelope(sp, wiggle) if wiggle is not None else None
+
         device_mats = {}
         if use_device:
             from .algo.viterbi_device import device_viterbi_matrices
             scorable = [sp for sp in data.seq_pairs if ev.can_tokenize(sp)]
             if scorable:
-                filled = device_viterbi_matrices(ev, scorable)
+                envs = ([_env_for(sp) for sp in scorable]
+                        if wiggle is not None else None)
+                filled = device_viterbi_matrices(ev, scorable,
+                                                 envelopes=envs)
                 device_mats = {id(sp): vm_ for sp, vm_ in zip(scorable,
                                                               filled)}
         vit_out = ["["]
@@ -330,7 +342,7 @@ def _run(argv):
             vit_ll = NEG_INF
             if ev.can_tokenize(sp):
                 vit = device_mats[id(sp)] if use_device \
-                    else ViterbiMatrix(ev, sp)
+                    else ViterbiMatrix(ev, sp, env=_env_for(sp))
                 vit_ll = vit.log_like()
                 if vit_ll > NEG_INF:
                     path = vit.path(machine)
@@ -434,7 +446,11 @@ def _run(argv):
 # machine-construction stack language
 
 
-def _build_machine(args):
+def _build_machine(args, fused_pair=False):
+    """Build the machine stack. With fused_pair=True (--engine fused) the
+    FINAL top-level composition is left unreduced and the (generator,
+    transducer) pair is returned instead — the fused engines score/align
+    without ever materializing the composition."""
     from collections import deque
     args = deque(args)
     machines = []
@@ -733,6 +749,8 @@ def _build_machine(args):
     def push_next_machine():
         machines.append(next_machine_for_command(""))
         if len(machines) > 1:
+            if fused_pair and len(machines) == 2 and not args:
+                return                       # keep the final pair unreduced
             machines.append(reduce_machines())
 
     while args:
@@ -740,8 +758,103 @@ def _build_machine(args):
 
     if not machines:
         return None
+    if fused_pair:
+        if len(machines) != 2:
+            raise CLIError("--engine fused requires a two-machine stack"
+                           " (generator transducer)")
+        return machines[0], machines[1]
     return reduce_machines()
 
+
+
+
+def _run_fused(machine_args, vm):
+    """--engine fused: Viterbi scores and alignments of reads against a
+    generator (x) transducer stack WITHOUT materializing the composition
+    (algo/fused_align.py — the composed state space is never built, which
+    is the point for large profiles). Supports --viterbi and --align with
+    the usual --data/--output-* inputs and --params/--functions files;
+    alignment path metadata uses the implicit product machine's state ids
+    (the same [gen, td] pair names compose() would assign — see
+    FusedAlignment.path_json_str)."""
+    from .algo.fused_align import FusedViterbiAligner
+
+    for k in ("--train", "--counts", "--codegen", "--save", "--evaluate",
+              "--loglike"):
+        if k in vm:
+            raise CLIError("--engine fused does not support " + k +
+                           " (use --engine device for Forward paths)")
+    if not ("--viterbi" in vm or "--align" in vm):
+        raise CLIError("--engine fused requires --viterbi or --align")
+
+    pair = _build_machine(machine_args, fused_pair=True)
+    if pair is None:
+        sys.stdout.write(_usage())
+        sys.stdout.write("Please specify a transducer\n")
+        return 1
+    gen, td = pair
+    if gen.input_alphabet():
+        raise CLIError("--engine fused requires the left machine to be a"
+                       " generator (empty input alphabet)")
+
+    seed = Params()
+    for path in vm.get("--params", []):
+        seed = seed.combine(param_assign_from_json(_load_json(path)), True)
+    funcs = Params()
+    for path in vm.get("--functions", []):
+        funcs = funcs.combine(param_funcs_from_json(_load_json(path)), True)
+    user = funcs.combine(seed)
+    use_defaults = "--use-defaults" in vm
+    gp = user.combine(gen.get_param_defs(use_defaults))
+    tp = user.combine(td.get_param_defs(use_defaults))
+
+    reads = []                              # (input_name, NamedSeq)
+    for path in vm.get("--data", []):
+        for sp in SeqPairList.from_json(_load_json(path)).seq_pairs:
+            if sp.input.seq:
+                raise CLIError("--engine fused scores output-only data"
+                               " (the generator side has no input)")
+            reads.append((sp.input.name,
+                          NamedSeq(sp.output.name, sp.output.seq)))
+    if "--output-fasta" in vm:
+        for fs in read_fast_seqs(vm["--output-fasta"]):
+            reads.append(("", NamedSeq(fs.name, split_to_chars(fs.seq))))
+    if "--output-chars" in vm:
+        s = vm["--output-chars"]
+        reads.append(("", NamedSeq(s, split_to_chars(s))))
+    if "--output-json" in vm:
+        reads.append(("", NamedSeq.from_json(
+            _load_json(vm["--output-json"]))))
+    if not reads:
+        raise CLIError("To align sequences, please specify a data file")
+
+    aligner = FusedViterbiAligner(gen, td, gen_params=gp, td_params=tp)
+    vit_out = ["["]
+    align_out = []
+    for n, (in_name, ns) in enumerate(reads):
+        ll = NEG_INF
+        try:
+            a = aligner.align(ns.seq)
+            ll = a.score
+        except (ValueError, KeyError):
+            a = None
+        if a is not None and "--align" in vm:
+            sp = SeqPair(NamedSeq(in_name, []), NamedSeq(ns.name, ns.seq),
+                         a.alignment_columns(),
+                         {"path": json.loads(a.path_json_str())})
+            align_out.append(sp)
+        vit_out.append((",\n " if n else "")
+                       + '["%s","%s",%s]'
+                       % (write_escaped(in_name), write_escaped(ns.name),
+                          infinity_safe_string(ll)))
+    vit_out.append("]\n")
+    if "--viterbi" in vm:
+        sys.stdout.write("".join(vit_out))
+    if "--align" in vm:
+        spl = SeqPairList()
+        spl.seq_pairs = align_out
+        sys.stdout.write(spl.to_json_str() + "\n")
+    return 0
 
 def _usage():
     return ("Usage: mboss [construction|application options...]\n"

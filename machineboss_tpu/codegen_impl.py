@@ -202,8 +202,91 @@ inline double getParam(const std::map<std::string, double>& params,
 """
 
 
+_CPP_SOFTPLUS_RUNTIME = r"""// Int-log SoftPlus arithmetic (reference semantics: src/softplus.h —
+// IntLog = round(log/1e-4), cached softplus table with cutoff 10, and a
+// genuine 32/64-bit width distinction: the 32-bit build clamps at
+// 0x1FFFFFFF*1e-4 = 53687 nats, the 64-bit at 0x1FFFFFFFFFFFFFFF*1e-4).
+#pragma once
+#include <cmath>
+#include <cstdint>
+#include <limits>
+#include <map>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace mbgen {
+
+#ifdef MBGEN_INTLOG32
+typedef int32_t IntLog;
+static const IntLog kIntLogInf = 0x1FFFFFFF;
+#else
+typedef int64_t IntLog;
+static const IntLog kIntLogInf = 0x1FFFFFFFFFFFFFFFLL;
+#endif
+static const double kIntLogPrecision = 1e-4;
+static const double kLogInf = kIntLogPrecision * (double) kIntLogInf;
+static const long   kSpCacheEntries = 100001;  // 10 / 1e-4 + 1
+
+inline IntLog log_to_int(double x) {
+  return (x <= -kLogInf ? -kIntLogInf
+          : (x >= kLogInf ? kIntLogInf
+             : (IntLog) (.5 + x / kIntLogPrecision)));
+}
+
+inline double int_to_log(IntLog x) {
+  return (x <= -kIntLogInf ? -std::numeric_limits<double>::infinity()
+          : (x >= kIntLogInf ? std::numeric_limits<double>::infinity()
+             : kIntLogPrecision * (double) x));
+}
+
+inline IntLog int_log(double p) {
+  return p > 0 ? log_to_int(std::log(p)) : -kIntLogInf;
+}
+
+inline IntLog bound_intlog(IntLog x) {
+  return x < -kIntLogInf ? -kIntLogInf : (x > kIntLogInf ? kIntLogInf : x);
+}
+
+inline double getParam(const std::map<std::string, double>& params,
+                       const std::string& name) {
+  auto it = params.find(name);
+  if (it == params.end())
+    throw std::runtime_error("Parameter " + name + " not defined");
+  return it->second;
+}
+
+struct SoftPlus {
+  std::vector<IntLog> cache;
+  SoftPlus() : cache(kSpCacheEntries) {
+    for (long n = 0; n < kSpCacheEntries; ++n)
+      cache[n] = log_to_int(std::log1p(std::exp(-(kIntLogPrecision * n))));
+  }
+  inline IntLog sp_neg(IntLog x) const {
+    return x >= kSpCacheEntries ? 0 : cache[x];
+  }
+  inline IntLog lse_canonical(IntLog larger, IntLog smaller) const {
+    return (smaller <= -kIntLogInf || larger >= kIntLogInf)
+        ? bound_intlog(larger) : larger + sp_neg(larger - smaller);
+  }
+  inline IntLog lse(IntLog a, IntLog b) const {
+    return a > b ? lse_canonical(a, b) : lse_canonical(b, a);
+  }
+  static inline IntLog max_reduce(IntLog a, IntLog b) {
+    return bound_intlog(a > b ? a : b);
+  }
+};
+
+}  // namespace mbgen
+"""
+
+
 class CPlusPlusCompiler:
-    """Emits a self-contained C++ computeForward (ref CPlusPlusCompiler)."""
+    """Emits a self-contained C++ computeForward in the reference's int-log
+    SoftPlus arithmetic (ref src/softplus.h:9-21, src/compiler.cpp):
+    weights and cells are integer logs at 1e-4 precision, log-sum-exp is a
+    cached integer softplus lookup, and is_64bit selects a genuine
+    int32_t/int64_t IntLog width with matching clamp range."""
 
     filename_suffix = ".cpp"
     header_suffix = ".h"
@@ -229,8 +312,11 @@ class CPlusPlusCompiler:
         return "const std::vector<std::vector<double>>& %s" % name
 
     def _emit(self, info, x_type, y_type, func_name):
-        L = [_CPP_RUNTIME, "namespace mbgen {\n"]
-        reduce_fn = "max_reduce" if self.use_max_reduce else "lse"
+        L = []
+        if not self.is_64bit:
+            L.append("#define MBGEN_INTLOG32 1\n")
+        L.append(_CPP_SOFTPLUS_RUNTIME)
+        L.append("namespace mbgen {\n")
         S = info.n_states
 
         # tokenizers
@@ -253,9 +339,10 @@ class CPlusPlusCompiler:
                  % (func_name, self._seq_arg(x_type, "x"),
                     self._seq_arg(y_type, "y")))
 
-        # transition log-weights
+        L.append("  static const SoftPlus sp;\n")
+        # transition weights as integer logs
         for wid, w in enumerate(info.weights):
-            L.append("  const double w%d = std::log(%s);\n"
+            L.append("  const IntLog w%d = int_log(%s);\n"
                      % (wid, expr_to_cpp(w)))
 
         # tokenized inputs
@@ -272,8 +359,9 @@ class CPlusPlusCompiler:
         lx = "x.size()" if x_type != SEQ_PROFILE else "x.size()"
         ly = "y.size()" if y_type != SEQ_PROFILE else "y.size()"
         L.append("  const size_t Lx = %s, Ly = %s;\n" % (lx, ly))
-        L.append("  std::vector<std::vector<double>> buf0(Lx+1,"
-                 " std::vector<double>(%d, kNegInf)), buf1 = buf0;\n" % S)
+        L.append("  std::vector<std::vector<IntLog>> buf0(Lx+1,"
+                 " std::vector<IntLog>(%d, -kIntLogInf)), buf1 = buf0;\n"
+                 % S)
 
         def cell(row, ix, d):
             return "%s[%s][%d]" % (row, ix, d)
@@ -283,19 +371,22 @@ class CPlusPlusCompiler:
                 return None  # handled by weight lookup
             return "%s[%s] == %d" % (arr, pos, tok)
 
+        reduce_fmt = ("%s = SoftPlus::max_reduce(%s, %s);"
+                      if self.use_max_reduce else "%s = sp.lse(%s, %s);")
+
         def emit_term(acc, src_cell, extra, cond):
-            term = "%s + %s" % (src_cell, extra)
-            line = "%s = %s(%s, %s);" % (acc, reduce_fn, acc, term)
+            term = "bound_intlog(%s + %s)" % (src_cell, extra)
+            line = reduce_fmt % (acc, acc, term)
             if cond:
                 line = "if (%s) %s" % (cond, line)
             return "        " + line + "\n"
 
         # main fill loop: iy rows, ix cols, states ascending
         L.append("""  for (size_t iy = 0; iy <= Ly; ++iy) {
-    std::vector<std::vector<double>>& cur = (iy & 1) ? buf1 : buf0;
-    std::vector<std::vector<double>>& prev = (iy & 1) ? buf0 : buf1;
+    std::vector<std::vector<IntLog>>& cur = (iy & 1) ? buf1 : buf0;
+    std::vector<std::vector<IntLog>>& prev = (iy & 1) ? buf0 : buf1;
     for (size_t ix = 0; ix <= Lx; ++ix) {
-      for (int d = 0; d < %d; ++d) cur[ix][d] = kNegInf;
+      for (int d = 0; d < %d; ++d) cur[ix][d] = -kIntLogInf;
       if (ix == 0 && iy == 0) cur[0][0] = 0;\n""" % S)
 
         # group incoming transitions per destination state (ascending);
@@ -318,16 +409,16 @@ class CPlusPlusCompiler:
                     cases["silent"].append((wid, s, it, ot))
             if not entries and d != 0:
                 continue
-            L.append("      {\n        double acc = cur[ix][%d];\n" % d)
+            L.append("      {\n        IntLog acc = cur[ix][%d];\n" % d)
             for wid, s, it, ot in cases["match"]:
                 conds = ["ix > 0", "iy > 0"]
                 ex = "w%d" % wid
                 if x_type == SEQ_PROFILE:
-                    ex += " + std::log(x[ix-1][%d])" % it
+                    ex += " + int_log(x[ix-1][%d])" % it
                 else:
                     conds.append("xs[ix-1] == %d" % it)
                 if y_type == SEQ_PROFILE:
-                    ex += " + std::log(y[iy-1][%d])" % ot
+                    ex += " + int_log(y[iy-1][%d])" % ot
                 else:
                     conds.append("ys[iy-1] == %d" % ot)
                 L.append(emit_term("acc", cell("prev", "ix-1", s), ex,
@@ -336,7 +427,7 @@ class CPlusPlusCompiler:
                 conds = ["ix > 0"]
                 ex = "w%d" % wid
                 if x_type == SEQ_PROFILE:
-                    ex += " + std::log(x[ix-1][%d])" % it
+                    ex += " + int_log(x[ix-1][%d])" % it
                 else:
                     conds.append("xs[ix-1] == %d" % it)
                 L.append(emit_term("acc", cell("cur", "ix-1", s), ex,
@@ -345,7 +436,7 @@ class CPlusPlusCompiler:
                 conds = ["iy > 0"]
                 ex = "w%d" % wid
                 if y_type == SEQ_PROFILE:
-                    ex += " + std::log(y[iy-1][%d])" % ot
+                    ex += " + int_log(y[iy-1][%d])" % ot
                 else:
                     conds.append("ys[iy-1] == %d" % ot)
                 L.append(emit_term("acc", cell("prev", "ix", s), ex,
@@ -357,10 +448,10 @@ class CPlusPlusCompiler:
         if self.show_cells:
             L.append('      for (int d = 0; d < %d; ++d)\n'
                      '        fprintf(stderr, "cell(%%zu,%%zu,%%d) = %%g\\n",'
-                     ' ix, iy, d, cur[ix][d]);\n' % S)
+                     ' ix, iy, d, int_to_log(cur[ix][d]));\n' % S)
         L.append("""    }
   }
-  return ((Ly & 1) ? buf1 : buf0)[Lx][%d];
+  return int_to_log(((Ly & 1) ? buf1 : buf0)[Lx][%d]);
 }
 
 }  // namespace mbgen

@@ -212,3 +212,121 @@ def make_batched(fn, sr=LOGSUMEXP):
     def call(trans, closure, toks, length):
         return fn(trans, closure, toks, length, sr=sr)
     return jax.jit(jax.vmap(call, in_axes=(None, None, 0, 0)))
+
+
+# --------------------------------------------------------------- blocked
+
+def _np_log_matmul_batch(a, b):
+    """Batched f64 log-space matmul (host, exact shift)."""
+    import numpy as np
+    amax = np.max(a, axis=-1, keepdims=True)
+    bmax = np.max(b, axis=-2, keepdims=True)
+    asafe = np.where(amax > NEG_INF / 2, amax, 0.0)
+    bsafe = np.where(bmax > NEG_INF / 2, bmax, 0.0)
+    prod = np.exp(a - asafe) @ np.exp(b - bsafe)
+    with np.errstate(divide="ignore"):
+        out = np.where(prod > 0, np.log(np.maximum(prod, 1e-300))
+                       + asafe + bsafe, NEG_INF)
+    return out
+
+
+def build_token_block_table(trans, k=None, budget_mb=40):
+    """Host-exact f64 transfer table over k-token blocks.
+
+    trans: (n_tok, S, S) log transfer matrices (token-conditioned, silent
+    closure folded — lowering.emit_matrices_1d). Returns (table, k) where
+    table[(…(t0*(n+1)+t1)*(n+1)…)+t_{k-1}] = M_{t0} (x) … (x) M_{t_{k-1}}
+    in the log semiring, with the extra token id n_tok = identity (pad).
+
+    This is the numerics-first answer to the long-scan MXU bias
+    (see forward_1d_scan_probs_batch's caveat): block products are folded
+    ONCE on the host in float64, so the device scan takes L/k steps
+    instead of L — both the per-step rounding exposure and the sequential
+    depth drop by k. k auto-sizes to keep the table under budget_mb."""
+    import numpy as np
+    n_tok, S, _ = trans.shape
+    base = n_tok + 1
+    if k is None:
+        k = 1
+        while k < 8 and base ** (k + 1) * S * S * 4 <= budget_mb * (1 << 20):
+            k += 1
+    t64 = np.asarray(trans, np.float64)
+    eye = np.where(np.eye(S, dtype=bool), 0.0, NEG_INF)
+    level = np.concatenate([t64, eye[None]], axis=0)        # (base, S, S)
+    table = level
+    for _ in range(k - 1):
+        # table_{j+1}[c*base + t] = table_j[c] (x) level[t]
+        table = _np_log_matmul_batch(
+            table[:, None], level[None])                    # (C, base, S, S)
+        table = table.reshape(-1, S, S)
+    return table, k
+
+
+def make_forward_1d_blocked(trans, closure, k=None, chunk_combos=64,
+                            dtype=None):
+    """Batch-major blocked 1D Forward: fn(toks (B, L) 0-based, lens (B,))
+    -> (B,) log-likelihoods.
+
+    Per jitted step over macro-chunks of the sequence: gather the chunk's
+    block matrices from the host-exact table (VMEM/HBM resident), fold
+    them pairwise with log-depth semiring matmuls (MXU, HIGHEST), then
+    advance the renormalized Kahan-scaled carry once per chunk — the
+    sequential depth is L/(k*chunk_combos) instead of L, and every
+    matmul's operands differ step to step (no correlated-rounding bias,
+    unlike the wide prob-space scan)."""
+    import numpy as np
+    n_tok, S, _ = np.asarray(trans).shape
+    table_np, k = build_token_block_table(np.asarray(trans), k=k)
+    base = n_tok + 1
+    if dtype is None:
+        dtype = jnp.float32
+    table = jnp.asarray(np.maximum(table_np, NEG_INF), dtype)
+    closure = jnp.asarray(np.maximum(np.asarray(closure, np.float64),
+                                     NEG_INF), dtype)
+    # chunk_combos must be a power of two for the fold tree
+    cc = 1
+    while cc * 2 <= chunk_combos:
+        cc *= 2
+    pad_id = base ** k - 1                      # the all-identity block
+    powers = np.array([base ** (k - 1 - j) for j in range(k)], np.int64)
+
+    @jax.jit
+    def fwd(toks, lens):
+        B, L = toks.shape
+        nC = -(-L // k)
+        nMacro = -(-nC // cc)
+        Lp = nMacro * cc * k
+        pad = jnp.full((B, Lp - L), n_tok, toks.dtype)
+        t = jnp.concatenate([
+            jnp.where(jnp.arange(L)[None, :] < lens[:, None], toks, n_tok),
+            pad], axis=1)
+        ids = (t.reshape(B, nMacro * cc, k)
+               * jnp.asarray(powers)[None, None, :]).sum(-1)
+        ids = ids.reshape(B, nMacro, cc)
+
+        f0 = _start_vector(S, closure, LOGSUMEXP, dtype)
+        zero = jnp.zeros((), dtype)
+
+        def step(carry, ids_c):
+            f, scale, comp = carry                      # (B,S),(B,),(B,)
+            mats = table[ids_c]                         # (B, cc, S, S)
+            n = cc
+            while n > 1:
+                mats = LOGSUMEXP.matmul(mats[:, 0::2], mats[:, 1::2])
+                n //= 2
+            f_new = LOGSUMEXP.vecmat(f, mats[:, 0])
+            norm = jnp.max(f_new, axis=-1)
+            norm = jnp.where(norm > NEG_INF / 2, norm, zero)
+            f_new = f_new - norm[:, None]
+            y = norm - comp
+            tt = scale + y
+            comp_new = (tt - scale) - y
+            return (f_new, tt, comp_new), None
+
+        f0b = jnp.broadcast_to(f0, (B, S))
+        (fL, scale, _), _ = jax.lax.scan(
+            step, (f0b, jnp.zeros((B,), dtype), jnp.zeros((B,), dtype)),
+            jnp.transpose(ids, (1, 0, 2)))
+        return fL[:, S - 1] + scale
+
+    return fwd

@@ -36,9 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .semiring import LOGSUMEXP, NEG_INF
-
-SR = LOGSUMEXP
+from .semiring import LOGSUMEXP, MAXPLUS, NEG_INF, get_semiring
 
 
 def _np_log(p):
@@ -63,9 +61,46 @@ def _np_lse(stack, axis=0):
     return np.where(s > 0, _np_log(s) + np.squeeze(safe, axis), NEG_INF)
 
 
-def _bvecmat(v, m):
+# ---- max-plus (Viterbi) host counterparts. The semiring swap mirrors the
+# reference's semiring-parameterized fused Plan7 (same code path serves
+# Forward via LOGSUMEXP and Viterbi via MAXPLUS,
+# ref python/machineboss/jax/fused_plan7.py:20,636-645); the infinite-sum
+# closures (I - P)^-1 become max-plus Kleene stars (the best path through
+# a substochastic loop never repeats it, so the star converges).
+
+def _np_mp_matmul(a, b):
+    return np.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+
+def _np_mp_max(stack, axis=0):
+    return np.max(stack, axis=axis)
+
+
+def _np_mp_star(m):
+    """Kleene star of a square log-matrix in max-plus: max over any number
+    of steps. Converges (to max over simple paths) iff every cycle has
+    negative log-weight; repeated squaring of (I (+) A) doubles the
+    admitted path length per iteration."""
+    m = np.asarray(m, np.float64)
+    if m.ndim == 3:
+        return np.stack([_np_mp_star(m[k]) for k in range(m.shape[0])])
+    n = m.shape[0]
+    b = np.maximum(_np_log(np.eye(n)), m)
+    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 2):
+        nb = _np_mp_matmul(b, b)
+        if np.allclose(nb, b, atol=1e-12):
+            return b
+        b = nb
+    nb = _np_mp_matmul(b, b)
+    if not np.allclose(nb, b, atol=1e-9):
+        raise ValueError("max-plus closure diverges (cycle with "
+                         "log-weight >= 0)")
+    return nb
+
+
+def _bvecmat(v, m, sr=LOGSUMEXP):
     """(K, St) x (K, St, St) -> (K, St) batched semiring vec-mat."""
-    return SR.matmul(v[:, None, :], m)[:, 0, :]
+    return sr.matmul(v[:, None, :], m)[:, 0, :]
 
 
 class Plan7Fused:
@@ -79,13 +114,20 @@ class Plan7Fused:
     """
 
     def __init__(self, hmm, td_ev, mode="plan7", local=True, multihit=False,
-                 length=400.0, n_hit=3, solver="auto"):
+                 length=400.0, n_hit=3, solver="auto", semiring="logsumexp"):
         self.hmm = hmm
         self.td_ev = td_ev
         self.mode = mode
         self.local = local if mode == "core" else True
         self.multihit = multihit
         self.n_hit = n_hit if (mode == "plan7" and multihit) else 1
+        # semiring parameterization: LOGSUMEXP = Forward, MAXPLUS = Viterbi
+        # (ref python/machineboss/jax/fused_plan7.py:636-645); the host-side
+        # precomputation swaps semiring-matched matmul / reduce / closure
+        self.sr = get_semiring(semiring)
+        self.viterbi = self.sr is MAXPLUS
+        hmatmul = _np_mp_matmul if self.viterbi else _np_log_matmul
+        self._hmatmul = hmatmul
         K = len(hmm.node)
         if K < 1:
             raise ValueError("empty HMM")
@@ -102,10 +144,31 @@ class Plan7Fused:
         for (i, o), (src, dst, _, lw) in td_ev.edges_by_token().items():
             for t in range(len(src)):
                 w = lw[t] if np.isfinite(lw[t]) else NEG_INF
+                # parallel degenerate transitions collapse by SUM in both
+                # semirings (compose's TransAccumulator does the same
+                # before the host Viterbi ever runs)
                 dense[i, o, src[t], dst[t]] = np.logaddexp(
                     dense[i, o, src[t], dst[t]], w)
-        n_mat = np.where(dense[0, 0] > NEG_INF / 2, np.exp(dense[0, 0]), 0.0)
-        t_closure = _np_log(np.linalg.inv(np.eye(St) - n_mat))
+
+        def sum_star(log_mat):
+            """(I - P)^-1 in probability space (any leading batch dim):
+            the geometric silent-cycle fold compose() applies
+            (advancing_machine) regardless of the DP semiring."""
+            p = np.where(log_mat > NEG_INF / 2, np.exp(log_mat), 0.0)
+            n = p.shape[-1]
+            if p.ndim == 2:
+                return _np_log(np.linalg.inv(np.eye(n) - p))
+            return np.stack([_np_log(np.linalg.inv(np.eye(n) - p[k]))
+                             for k in range(p.shape[0])])
+
+        self._sum_star = sum_star
+        # td silent-chain closure: compose keeps acyclic silent chains
+        # discrete, so the fold uses the MODE semiring (max-plus Kleene
+        # star for Viterbi); td silent cycles would be sum-folded by
+        # compose, but EvaluatedMachine requires an advancing transducer,
+        # so the star is finite either way
+        t_closure = (_np_mp_star(dense[0, 0]) if self.viterbi
+                     else sum_star(dense[0, 0]))
 
         toks = []
         for sym in hmm.alph:
@@ -114,15 +177,17 @@ class Plan7Fused:
                 raise ValueError("transducer lacks input symbol %r" % sym)
             toks.append(t)
 
-        # move matrices, (eps,eps) closure folded on the right
-        ta0 = np.stack([_np_log_matmul(dense[t, 0], t_closure)
-                        for t in toks])                        # (A, St, St)
-        tay = np.stack([
-            np.stack([_np_log_matmul(dense[t, y], t_closure)
-                      for y in range(n_out)])
-            for t in toks])                                    # (A,n_out,..)
-        ty0 = np.stack([_np_log_matmul(dense[0, y], t_closure)
-                        for y in range(n_out)])                # (n_out,..)
+        # one-step move tensors (td silent closure folded AFTER the
+        # symbol collapse below). The composed-machine semantics this
+        # must match for Viterbi parity: compose() SUMS degenerate
+        # transitions (same src/dst/in/out — TransAccumulator,
+        # core/machine.py compose), and the host ViterbiMatrix then
+        # maxes over the collapsed graph; so the per-symbol paired moves
+        # collapse by logaddexp in BOTH semirings, while the td silent
+        # chain (kept discrete by compose) folds with the mode semiring.
+        ta0_raw = dense[np.array(toks), 0]                     # (A, St, St)
+        tay_raw = dense[np.array(toks)]                        # (A,n_out,..)
+        ty0 = hmatmul(dense[0], t_closure)                     # (n_out,..)
 
         m_emit = np.array([[_np_log(n.match_emit[a]) for a in range(A)]
                            for n in hmm.node])                 # (K, A)
@@ -131,9 +196,12 @@ class Plan7Fused:
         null_emit = _np_log(np.array(hmm.null_emit))           # (A,)
         ins0_emit = _np_log(np.array(hmm.ins0_emit))
 
-        def absorb(emit):
-            """(..., A) log dist -> (..., St, St) silent-absorb matrix."""
-            return _np_lse(emit[..., :, None, None] + ta0, axis=-3)
+        def absorb(emit, closure=t_closure, mm=hmatmul):
+            """(..., A) log dist -> (..., St, St) silent-absorb matrix:
+            sum over the absorbed symbol (degenerate collapse), then the
+            td silent closure folded with the given matmul."""
+            raw = _np_lse(emit[..., :, None, None] + ta0_raw, axis=-3)
+            return mm(raw, closure)
 
         em0 = absorb(m_emit)                                   # (K, St, St)
         ei0 = absorb(i_emit)
@@ -145,13 +213,25 @@ class Plan7Fused:
                         "d_to_m", "d_to_d")}
 
         def loop_closure(log_scalar, log_mat):
-            """(I - exp(scalar) * exp(mat))^-1 in probability space."""
-            p = np.where(log_mat > NEG_INF / 2, np.exp(log_mat), 0.0)
-            s = np.exp(np.maximum(log_scalar, -700.0))
-            if p.ndim == 2:
-                return _np_log(np.linalg.inv(np.eye(St) - s * p))
-            return np.stack([_np_log(np.linalg.inv(np.eye(St) - s[k] * p[k]))
-                             for k in range(p.shape[0])])
+            """Closure of the scaled loop: geometric path-sum (I-sP)^-1
+            for Forward, Kleene star (best number of traversals — zero,
+            as loops cost) for Viterbi. NOTE an intentional semantic
+            difference from Viterbi-on-the-composed-machine: compose()
+            sum-folds silent cycles BEFORE the host Viterbi runs
+            (advancing_machine), so the composed score can exceed the
+            best-collapsed-path score by the folded cycle mass. The
+            reference's own fused Viterbi has the same property (its
+            MAXPLUS closure propagation, ref jax/fused_plan7.py:642-645,
+            never reproduces the compose-time sums either, and its tests
+            only assert Viterbi <= Forward). Tests here assert the exact
+            sandwich vit_fused <= vit_composed <= fwd_fused plus exact
+            f64 parity against algo/fused_align.py."""
+            ls = np.maximum(np.asarray(log_scalar, np.float64), NEG_INF)
+            if log_mat.ndim == 3:
+                arg = ls[:, None, None] + log_mat
+            else:
+                arg = ls + log_mat
+            return _np_mp_star(arg) if self.viterbi else sum_star(arg)
 
         ci = loop_closure(sc["i_to_i"], ei0)                   # (K, St, St)
         ci00 = loop_closure(_np_log(hmm.i0_to_i0), eins00)
@@ -181,8 +261,8 @@ class Plan7Fused:
         a_mat = np.full((K, 3 * St, 3 * St), NEG_INF)
         for k in range(1, K):
             em = em0[k]
-            to_ix = _np_log_matmul(
-                _np_log_matmul(sc["m_to_i"][k] + em, ci[k]), ei0[k])
+            to_ix = hmatmul(
+                hmatmul(sc["m_to_i"][k] + em, ci[k]), ei0[k])
             a_mat[k, 0:St, 0:St] = sc["m_to_m"][k - 1] + em
             a_mat[k, St:2 * St, 0:St] = sc["i_to_m"][k - 1] + em
             a_mat[k, 2 * St:, 0:St] = sc["d_to_m"][k - 1] + em
@@ -212,7 +292,7 @@ class Plan7Fused:
                 pref[k, k] = eye3
             for k in range(1, K):
                 for jj in range(k):
-                    pref[jj, k] = _np_log_matmul(pref[jj, k - 1], a_mat[k])
+                    pref[jj, k] = hmatmul(pref[jj, k - 1], a_mat[k])
             t_tri = np.ascontiguousarray(
                 pref.transpose(0, 2, 1, 3).reshape(K * D3, K * D3))
         else:
@@ -223,16 +303,16 @@ class Plan7Fused:
         # the row's output token, and n_out is small (DNA reads: 5), so
         # precomputing all of them removes a (K, A, St, St) broadcast
         # reduction from EVERY scan step
-        emy_all = _np_lse(m_emit[None, :, :, None, None]
-                          + np.transpose(tay, (1, 0, 2, 3))[:, None],
-                          axis=2)                              # (n_out,K,S,S)
-        eiy_all = _np_lse(i_emit[None, :, :, None, None]
-                          + np.transpose(tay, (1, 0, 2, 3))[:, None],
-                          axis=2)
-        enully_all = _np_lse(null_emit[None, :, None, None]
-                             + np.transpose(tay, (1, 0, 2, 3)), axis=1)
-        eins0y_all = _np_lse(ins0_emit[None, :, None, None]
-                             + np.transpose(tay, (1, 0, 2, 3)), axis=1)
+        tay_t = np.transpose(tay_raw, (1, 0, 2, 3))            # (n_out,A,..)
+        emy_all = hmatmul(_np_lse(m_emit[None, :, :, None, None]
+                                  + tay_t[:, None], axis=2),
+                          t_closure)                           # (n_out,K,S,S)
+        eiy_all = hmatmul(_np_lse(i_emit[None, :, :, None, None]
+                                  + tay_t[:, None], axis=2), t_closure)
+        enully_all = hmatmul(_np_lse(null_emit[None, :, None, None]
+                                     + tay_t, axis=1), t_closure)
+        eins0y_all = hmatmul(_np_lse(ins0_emit[None, :, None, None]
+                                     + tay_t, axis=1), t_closure)
 
         f32 = jnp.float32
         self._j = j = {
@@ -240,7 +320,7 @@ class Plan7Fused:
             "eiy_all": jnp.array(eiy_all, f32),
             "enully_all": jnp.array(enully_all, f32),
             "eins0y_all": jnp.array(eins0y_all, f32),
-            "tay": jnp.array(tay, f32), "ty0": jnp.array(ty0, f32),
+            "ty0": jnp.array(ty0, f32),
             "em0": jnp.array(em0, f32), "ei0": jnp.array(ei0, f32),
             "enull0": jnp.array(enull0, f32),
             "eins00": jnp.array(eins00, f32),
@@ -265,10 +345,15 @@ class Plan7Fused:
         self.log_loop = float(_np_log(length / (length + 1.0)))
         self.log_exit = float(_np_log(1.0 / (length + 1.0)))
         if mode == "plan7":
-            j["cloop"] = jnp.array(loop_closure(self.log_loop, enull0), f32)
+            j["cloop"] = jnp.array(
+                loop_closure(self.log_loop, enull0), f32)
         self._fwd = jax.jit(self._forward_impl)
 
     # ------------------------------------------------------------------ DP
+
+    def _bvecmat(self, v, m):
+        """(K, St) x (K, St, St) -> (K, St) batched semiring vec-mat."""
+        return self.sr.matmul(v[:, None, :], m)[:, 0, :]
 
     def _row_core(self, B_hot, cold, hot, ix0_hot):
         """Within-row sweep over nodes. `cold` values (arrived via a
@@ -281,37 +366,37 @@ class Plan7Fused:
         j = self._j
         K, St = self.K, self.St
 
-        u_hot = jnp.full((K, St), SR.zero, jnp.float32)
+        u_hot = jnp.full((K, St), self.sr.zero, jnp.float32)
         if self.local:
             u_hot = j["entry"][:, None] + B_hot[None, :]
         else:
             u0 = self.b_to_m1 + B_hot
             if ix0_hot is not None:
-                u0 = SR.add(u0, self.i0_to_m1 + ix0_hot)
+                u0 = self.sr.add(u0, self.i0_to_m1 + ix0_hot)
             u_hot = u_hot.at[0].set(u0)
 
-        b_mx = SR.add(_bvecmat(SR.add(u_hot, cold["M"]), j["em0"]),
+        b_mx = self.sr.add(self._bvecmat(self.sr.add(u_hot, cold["M"]), j["em0"]),
                       hot["Mx"])
-        cold_i_ei0 = _bvecmat(cold["I"], j["ei0"])
-        ix_aff_in = SR.add(cold_i_ei0, hot["Ix"])
-        i_aff = SR.add(j["m_to_i"][:, None] + b_mx,
+        cold_i_ei0 = self._bvecmat(cold["I"], j["ei0"])
+        ix_aff_in = self.sr.add(cold_i_ei0, hot["Ix"])
+        i_aff = self.sr.add(j["m_to_i"][:, None] + b_mx,
                        j["i_to_i"][:, None] + ix_aff_in)
-        b_ix = SR.add(_bvecmat(_bvecmat(i_aff, j["ci"]), j["ei0"]),
+        b_ix = self.sr.add(self._bvecmat(self._bvecmat(i_aff, j["ci"]), j["ei0"]),
                       ix_aff_in)
-        b_d = jnp.full((K, St), SR.zero, jnp.float32)
+        b_d = jnp.full((K, St), self.sr.zero, jnp.float32)
         if not self.local:
             b_d = b_d.at[0].set(self.b_to_d1 + B_hot)
         b = jnp.concatenate([b_mx, b_ix, b_d], axis=-1)       # (K, 3St)
 
         if self._solver == "prefix":
-            carry = SR.vecmat(b.reshape(K * 3 * St),
+            carry = self.sr.vecmat(b.reshape(K * 3 * St),
                               j["t_tri"]).reshape(K, 3 * St)
         else:
             def combine(left, right):
                 a1, b1 = left
                 a2, b2 = right
-                return (SR.matmul(a1, a2),
-                        SR.add(SR.matmul(b1[:, None, :], a2)[:, 0, :], b2))
+                return (self.sr.matmul(a1, a2),
+                        self.sr.add(self.sr.matmul(b1[:, None, :], a2)[:, 0, :], b2))
 
             _, carry = jax.lax.associative_scan(combine, (j["a_mat"], b),
                                                 axis=0)
@@ -320,14 +405,14 @@ class Plan7Fused:
         d_hot = carry[:, 2 * St:]
 
         prev = jnp.concatenate(
-            [jnp.full((1, 3 * St), SR.zero, carry.dtype), carry[:-1]], 0)
-        lin = SR.add(
-            SR.add(jnp.roll(j["m_to_m"], 1)[:, None] + prev[:, 0:St],
+            [jnp.full((1, 3 * St), self.sr.zero, carry.dtype), carry[:-1]], 0)
+        lin = self.sr.add(
+            self.sr.add(jnp.roll(j["m_to_m"], 1)[:, None] + prev[:, 0:St],
                    jnp.roll(j["i_to_m"], 1)[:, None] + prev[:, St:2 * St]),
             jnp.roll(j["d_to_m"], 1)[:, None] + prev[:, 2 * St:])
-        m_hot = SR.add(lin, u_hot)
-        i_hot = _bvecmat(
-            SR.add(j["m_to_i"][:, None] + mx_hot,
+        m_hot = self.sr.add(lin, u_hot)
+        i_hot = self._bvecmat(
+            self.sr.add(j["m_to_i"][:, None] + mx_hot,
                    j["i_to_i"][:, None] + ix_aff_in), j["ci"])
         return m_hot, mx_hot, i_hot, ix_hot, d_hot
 
@@ -336,11 +421,11 @@ class Plan7Fused:
         j = self._j
         K = self.K
         if self.local:
-            e = SR.reduce(jnp.concatenate([m_hot, d_hot], 0), axis=0)
+            e = self.sr.reduce(jnp.concatenate([m_hot, d_hot], 0), axis=0)
         else:
-            e = SR.add(j["m_to_m"][K - 1] + mx_hot[K - 1],
+            e = self.sr.add(j["m_to_m"][K - 1] + mx_hot[K - 1],
                        j["d_to_m"][K - 1] + d_hot[K - 1])
-        return SR.add(e, j["i_to_m"][K - 1] + ix_hot[K - 1])
+        return self.sr.add(e, j["i_to_m"][K - 1] + ix_hot[K - 1])
 
     def _solve_row(self, cold, hot, first):
         """cold: per-class prev-row Ty0 arrivals; hot: per-class prev-row
@@ -348,13 +433,13 @@ class Plan7Fused:
         Returns full (hot (+) cold) per-class values for the row."""
         j = self._j
         St = self.St
-        zero_v = jnp.full((St,), SR.zero, jnp.float32)
+        zero_v = jnp.full((St,), self.sr.zero, jnp.float32)
 
         if self.mode == "plan7":
-            nx_in = SR.add(hot["Nx"], SR.vecmat(cold["N"], j["enull0"]))
+            nx_in = self.sr.add(hot["Nx"], self.sr.vecmat(cold["N"], j["enull0"]))
             if first is not None:
-                nx_in = SR.add(nx_in, first)
-            nx_hot = SR.vecmat(nx_in, j["cloop"])
+                nx_in = self.sr.add(nx_in, first)
+            nx_hot = self.sr.vecmat(nx_in, j["cloop"])
             n_hot = self.log_loop + nx_hot
             B0_hot = self.log_exit + nx_hot
             ix0_hot = None
@@ -364,10 +449,10 @@ class Plan7Fused:
             if self.local:
                 ix0_hot = None
             else:
-                x = SR.add(
-                    SR.vecmat(SR.add(self.b_to_i0 + B0_hot, cold["I0"]),
+                x = self.sr.add(
+                    self.sr.vecmat(self.sr.add(self.b_to_i0 + B0_hot, cold["I0"]),
                               j["eins00"]), hot["Ix0"])
-                ix0_hot = SR.vecmat(x, j["ci00"])
+                ix0_hot = self.sr.vecmat(x, j["ci00"])
 
         B_hot = B0_hot
         e_hot = jx_hot = j_hot = zero_v
@@ -377,57 +462,57 @@ class Plan7Fused:
                 B_hot, cold, hot, ix0_hot)
             e_hot = self._row_E(m_hot, mx_hot, i_hot, ix_hot, d_hot)
             if self.mode == "plan7" and self.multihit:
-                jx_in = SR.add(
-                    SR.add(hot["Jx"], SR.vecmat(cold["J"], j["enull0"])),
+                jx_in = self.sr.add(
+                    self.sr.add(hot["Jx"], self.sr.vecmat(cold["J"], j["enull0"])),
                     float(np.log(0.5)) + e_hot)
-                jx_hot = SR.vecmat(jx_in, j["cloop"])
+                jx_hot = self.sr.vecmat(jx_in, j["cloop"])
                 j_hot = self.log_loop + jx_hot
-                B_hot = SR.add(B0_hot, self.log_exit + jx_hot)
+                B_hot = self.sr.add(B0_hot, self.log_exit + jx_hot)
             else:
                 break
 
-        val_E = SR.add(e_hot, cold["E"])
+        val_E = self.sr.add(e_hot, cold["E"])
         if self.mode == "plan7":
             e_to_c = float(np.log(0.5)) if self.multihit else 0.0
-            cx_in = SR.add(
-                SR.add(hot["Cx"], SR.vecmat(cold["C"], j["enull0"])),
+            cx_in = self.sr.add(
+                self.sr.add(hot["Cx"], self.sr.vecmat(cold["C"], j["enull0"])),
                 e_to_c + e_hot)
-            cx_hot = SR.vecmat(cx_in, j["cloop"])
+            cx_hot = self.sr.vecmat(cx_in, j["cloop"])
             c_hot = self.log_loop + cx_hot
             t_hot = self.log_exit + cx_hot
-            val_T = SR.add(t_hot, cold["T"])
+            val_T = self.sr.add(t_hot, cold["T"])
         else:
             cx_hot = c_hot = zero_v
             val_T = val_E
         if ix0_hot is not None:
-            i0_hot = SR.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
-            val_I0 = SR.add(i0_hot, cold["I0"])
-            val_Ix0 = SR.add(ix0_hot, cold["Ix0"])
+            i0_hot = self.sr.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
+            val_I0 = self.sr.add(i0_hot, cold["I0"])
+            val_Ix0 = self.sr.add(ix0_hot, cold["Ix0"])
         else:
             val_I0 = val_Ix0 = zero_v
-        return {"M": SR.add(m_hot, cold["M"]),
-                "Mx": SR.add(mx_hot, cold["Mx"]),
-                "I": SR.add(i_hot, cold["I"]),
-                "Ix": SR.add(ix_hot, cold["Ix"]),
-                "D": SR.add(d_hot, cold["D"]),
-                "N": SR.add(n_hot, cold["N"]),
-                "Nx": SR.add(nx_hot, cold["Nx"]),
-                "B": SR.add(B_hot, cold["B"]),
+        return {"M": self.sr.add(m_hot, cold["M"]),
+                "Mx": self.sr.add(mx_hot, cold["Mx"]),
+                "I": self.sr.add(i_hot, cold["I"]),
+                "Ix": self.sr.add(ix_hot, cold["Ix"]),
+                "D": self.sr.add(d_hot, cold["D"]),
+                "N": self.sr.add(n_hot, cold["N"]),
+                "Nx": self.sr.add(nx_hot, cold["Nx"]),
+                "B": self.sr.add(B_hot, cold["B"]),
                 "E": val_E,
-                "C": SR.add(c_hot, cold["C"]),
-                "Cx": SR.add(cx_hot, cold["Cx"]),
-                "J": SR.add(j_hot, cold["J"]),
-                "Jx": SR.add(jx_hot, cold["Jx"]),
+                "C": self.sr.add(c_hot, cold["C"]),
+                "Cx": self.sr.add(cx_hot, cold["Cx"]),
+                "J": self.sr.add(j_hot, cold["J"]),
+                "Jx": self.sr.add(jx_hot, cold["Jx"]),
                 "T": val_T, "I0": val_I0, "Ix0": val_Ix0}
 
     def _forward_impl(self, out_toks, out_len):
         """out_toks: (Lo,) output token ids (tokenizer space, >=1)."""
         j = self._j
         K, St = self.K, self.St
-        zero_v = jnp.full((St,), SR.zero, jnp.float32)
-        zero_kv = jnp.full((K, St), SR.zero, jnp.float32)
+        zero_v = jnp.full((St,), self.sr.zero, jnp.float32)
+        zero_kv = jnp.full((K, St), self.sr.zero, jnp.float32)
         start = zero_v.at[0].set(0.0)
-        start = SR.vecmat(start, j["t_closure"])
+        start = self.sr.vecmat(start, j["t_closure"])
 
         def zeros():
             cold = {n: zero_kv for n in ("M", "Mx", "I", "Ix", "D")}
@@ -449,21 +534,21 @@ class Plan7Fused:
             eins0y = j["eins0y_all"][y]
 
             def kmove(v, m):                                  # (K,St)@(St,St)
-                return SR.matmul(v[:, None, :],
+                return self.sr.matmul(v[:, None, :],
                                  jnp.broadcast_to(m, (v.shape[0],) + m.shape)
                                  )[:, 0, :]
 
             cold = {n: kmove(row[n], ty)
                     for n in ("M", "Mx", "I", "Ix", "D")}
-            cold.update({n: SR.vecmat(row[n], ty)
+            cold.update({n: self.sr.vecmat(row[n], ty)
                          for n in ("N", "Nx", "B", "E", "C", "Cx",
                                    "J", "Jx", "T", "I0", "Ix0")})
-            hot = {"Mx": _bvecmat(row["M"], emy),
-                   "Ix": _bvecmat(row["I"], eiy),
-                   "Nx": SR.vecmat(row["N"], enully),
-                   "Cx": SR.vecmat(row["C"], enully),
-                   "Jx": SR.vecmat(row["J"], enully),
-                   "Ix0": SR.vecmat(row["I0"], eins0y)}
+            hot = {"Mx": self._bvecmat(row["M"], emy),
+                   "Ix": self._bvecmat(row["I"], eiy),
+                   "Nx": self.sr.vecmat(row["N"], enully),
+                   "Cx": self.sr.vecmat(row["C"], enully),
+                   "Jx": self.sr.vecmat(row["J"], enully),
+                   "Ix0": self.sr.vecmat(row["I0"], eins0y)}
             new_row = self._solve_row(cold, hot, None)
             keep = pos < out_len
             merged = jax.tree_util.tree_map(
@@ -518,8 +603,8 @@ class Plan7Fused:
             # re-entry fixed point B = C (+) B (x) M_loop then solves
             # EXACTLY with a host (I - M_loop)^{-1} closure (the n_hit
             # iteration in _solve_row is a truncation of this series)
-            zero_kv = jnp.full((K, St), SR.zero, jnp.float32)
-            zero_v = jnp.full((St,), SR.zero, jnp.float32)
+            zero_kv = jnp.full((K, St), self.sr.zero, jnp.float32)
+            zero_v = jnp.full((St,), self.sr.zero, jnp.float32)
             cold0 = {n: zero_kv for n in ("M", "I")}
             hot0 = {"Mx": zero_kv, "Ix": zero_kv}
 
@@ -528,7 +613,7 @@ class Plan7Fused:
                 e = self._row_E(m, mx, i, ix, d)
                 return m, mx, i, ix, d, e
 
-            basis = jnp.where(jnp.eye(St, dtype=bool), 0.0, SR.zero
+            basis = jnp.where(jnp.eye(St, dtype=bool), 0.0, self.sr.zero
                               ).astype(jnp.float32)
             mb_m, mb_mx, mb_i, mb_ix, mb_d, mb_e = jax.jit(jax.vmap(run))(
                 basis)
@@ -543,11 +628,13 @@ class Plan7Fused:
             }
             e_np = np.array(mb_e, np.float64)
             cloop = np.array(j["cloop"], np.float64)
-            m_loop = _np_log_matmul(e_np, cloop) \
+            m_loop = self._hmatmul(e_np, cloop) \
                 + np.log(0.5) + self.log_exit
-            p = np.where(m_loop > NEG_INF / 2, np.exp(m_loop), 0.0)
+            # exact multihit re-entry closure in the MODE semiring (sum
+            # of re-entry counts for Forward, best count for Viterbi)
+            star = _np_mp_star if self.viterbi else self._sum_star
             self._mloop_star = jnp.array(
-                _np_log(np.linalg.inv(np.eye(St) - p)), jnp.float32)
+                star(np.maximum(m_loop, NEG_INF)), jnp.float32)
 
     def _row_core_batch(self, B_hot, cold_m, cold_i, hot_mx, hot_ix,
                         ix0_hot):
@@ -561,42 +648,42 @@ class Plan7Fused:
         else:
             u0 = self.b_to_m1 + B_hot
             if ix0_hot is not None:
-                u0 = SR.add(u0, self.i0_to_m1 + ix0_hot)
-            u_hot = jnp.full((B_hot.shape[0], K, St), SR.zero,
+                u0 = self.sr.add(u0, self.i0_to_m1 + ix0_hot)
+            u_hot = jnp.full((B_hot.shape[0], K, St), self.sr.zero,
                              jnp.float32).at[:, 0].set(u0)
 
         def kmat(v, m):                       # (B,K,St) x (K,St,St)
-            return SR.matmul(v[:, :, None, :], m)[:, :, 0, :]
+            return self.sr.matmul(v[:, :, None, :], m)[:, :, 0, :]
 
-        b_mx = SR.add(kmat(SR.add(u_hot, cold_m), j["em0"]), hot_mx)
+        b_mx = self.sr.add(kmat(self.sr.add(u_hot, cold_m), j["em0"]), hot_mx)
         cold_i_ei0 = kmat(cold_i, j["ei0"])
-        ix_aff_in = SR.add(cold_i_ei0, hot_ix)
-        i_aff = SR.add(j["m_to_i"][None, :, None] + b_mx,
+        ix_aff_in = self.sr.add(cold_i_ei0, hot_ix)
+        i_aff = self.sr.add(j["m_to_i"][None, :, None] + b_mx,
                        j["i_to_i"][None, :, None] + ix_aff_in)
-        b_ix = SR.add(kmat(kmat(i_aff, j["ci"]), j["ei0"]), ix_aff_in)
-        b_d = jnp.full_like(b_mx, SR.zero)
+        b_ix = self.sr.add(kmat(kmat(i_aff, j["ci"]), j["ei0"]), ix_aff_in)
+        b_d = jnp.full_like(b_mx, self.sr.zero)
         if not self.local:
             b_d = b_d.at[:, 0].set(self.b_to_d1 + B_hot)
         b = jnp.concatenate([b_mx, b_ix, b_d], axis=-1)       # (B,K,3St)
 
         Bn = b.shape[0]
-        carry = SR.vecmat(b.reshape(Bn, K * 3 * St),
+        carry = self.sr.vecmat(b.reshape(Bn, K * 3 * St),
                           j["t_tri"]).reshape(Bn, K, 3 * St)
         mx_hot = carry[:, :, 0:St]
         ix_hot = carry[:, :, St:2 * St]
         d_hot = carry[:, :, 2 * St:]
 
         prev = jnp.concatenate(
-            [jnp.full((Bn, 1, 3 * St), SR.zero, carry.dtype),
+            [jnp.full((Bn, 1, 3 * St), self.sr.zero, carry.dtype),
              carry[:, :-1]], axis=1)
-        lin = SR.add(
-            SR.add(jnp.roll(j["m_to_m"], 1)[None, :, None]
+        lin = self.sr.add(
+            self.sr.add(jnp.roll(j["m_to_m"], 1)[None, :, None]
                    + prev[:, :, 0:St],
                    jnp.roll(j["i_to_m"], 1)[None, :, None]
                    + prev[:, :, St:2 * St]),
             jnp.roll(j["d_to_m"], 1)[None, :, None] + prev[:, :, 2 * St:])
-        m_hot = SR.add(lin, u_hot)
-        i_hot = kmat(SR.add(j["m_to_i"][None, :, None] + mx_hot,
+        m_hot = self.sr.add(lin, u_hot)
+        i_hot = kmat(self.sr.add(j["m_to_i"][None, :, None] + mx_hot,
                             j["i_to_i"][None, :, None] + ix_aff_in),
                      j["ci"])
         return m_hot, mx_hot, i_hot, ix_hot, d_hot, ix_aff_in
@@ -605,11 +692,11 @@ class Plan7Fused:
         j = self._j
         K = self.K
         if self.local:
-            e = SR.reduce(jnp.concatenate([m_hot, d_hot], axis=1), axis=1)
+            e = self.sr.reduce(jnp.concatenate([m_hot, d_hot], axis=1), axis=1)
         else:
-            e = SR.add(j["m_to_m"][K - 1] + mx_hot[:, K - 1],
+            e = self.sr.add(j["m_to_m"][K - 1] + mx_hot[:, K - 1],
                        j["d_to_m"][K - 1] + d_hot[:, K - 1])
-        return SR.add(e, j["i_to_m"][K - 1] + ix_hot[:, K - 1])
+        return self.sr.add(e, j["i_to_m"][K - 1] + ix_hot[:, K - 1])
 
     def _solve_row_batch(self, cold, hot, first, Bn):
         """Batched _solve_row over the flat (B, NB, St) layout.
@@ -618,7 +705,7 @@ class Plan7Fused:
         j = self._j
         K, St = self.K, self.St
         fb = self._fb
-        zero_bv = jnp.full((Bn, St), SR.zero, jnp.float32)
+        zero_bv = jnp.full((Bn, St), self.sr.zero, jnp.float32)
         plan7 = self.mode == "plan7"
 
         cold_m = cold[:, 0:K]
@@ -631,11 +718,11 @@ class Plan7Fused:
         hot_ix0 = hot[:, 2 * K + 3]
 
         if plan7:
-            nx_in = SR.add(hot_nx,
-                           SR.vecmat(cold[:, fb["N"]], j["enull0"]))
+            nx_in = self.sr.add(hot_nx,
+                           self.sr.vecmat(cold[:, fb["N"]], j["enull0"]))
             if first is not None:
-                nx_in = SR.add(nx_in, jnp.broadcast_to(first, (Bn, St)))
-            nx_hot = SR.vecmat(nx_in, j["cloop"])
+                nx_in = self.sr.add(nx_in, jnp.broadcast_to(first, (Bn, St)))
+            nx_hot = self.sr.vecmat(nx_in, j["cloop"])
             n_hot = self.log_loop + nx_hot
             B0_hot = self.log_exit + nx_hot
             ix0_hot = None
@@ -646,29 +733,29 @@ class Plan7Fused:
             if self.local:
                 ix0_hot = None
             else:
-                x = SR.add(
-                    SR.vecmat(SR.add(self.b_to_i0 + B0_hot,
+                x = self.sr.add(
+                    self.sr.vecmat(self.sr.add(self.b_to_i0 + B0_hot,
                                      cold[:, fb["I0"]]), j["eins00"]),
                     hot_ix0)
-                ix0_hot = SR.vecmat(x, j["ci00"])
+                ix0_hot = self.sr.vecmat(x, j["ci00"])
 
         if plan7 and self.multihit:
             # base pass with no B mass, then exact re-entry closure
-            neg_b = jnp.full((Bn, St), SR.zero, jnp.float32)
+            neg_b = jnp.full((Bn, St), self.sr.zero, jnp.float32)
             m0, mx0, i0_, ix0_, d0, _ = self._row_core_batch(
                 neg_b, cold_m, cold_i, hot_mx, hot_ix, None)
             e_base = self._row_E_batch(m0, mx0, i0_, ix0_, d0)
-            jx_base = SR.add(
-                SR.add(hot_jx, SR.vecmat(cold[:, fb["J"]], j["enull0"])),
+            jx_base = self.sr.add(
+                self.sr.add(hot_jx, self.sr.vecmat(cold[:, fb["J"]], j["enull0"])),
                 float(np.log(0.5)) + e_base)
-            c_in = SR.add(B0_hot,
-                          self.log_exit + SR.vecmat(jx_base, j["cloop"]))
-            B_hot = SR.vecmat(c_in, self._mloop_star)
+            c_in = self.sr.add(B0_hot,
+                          self.log_exit + self.sr.vecmat(jx_base, j["cloop"]))
+            B_hot = self.sr.vecmat(c_in, self._mloop_star)
             # outputs = base (+) B (x) M_{B->cls}
             mb = self._mb
 
             def badd(base_kv, key):
-                return SR.add(base_kv, SR.matmul(
+                return self.sr.add(base_kv, self.sr.matmul(
                     B_hot[:, None, None, :], mb[key])[:, :, 0, :])
 
             m_hot = badd(m0, "M")
@@ -676,11 +763,11 @@ class Plan7Fused:
             i_hot = badd(i0_, "I")
             ix_hot = badd(ix0_, "Ix")
             d_hot = badd(d0, "D")
-            e_hot = SR.add(e_base, SR.vecmat(B_hot, mb["E"]))
-            jx_in = SR.add(jx_base,
+            e_hot = self.sr.add(e_base, self.sr.vecmat(B_hot, mb["E"]))
+            jx_in = self.sr.add(jx_base,
                            float(np.log(0.5))
-                           + SR.vecmat(B_hot, mb["E"]))
-            jx_hot = SR.vecmat(jx_in, j["cloop"])
+                           + self.sr.vecmat(B_hot, mb["E"]))
+            jx_hot = self.sr.vecmat(jx_in, j["cloop"])
             j_hot = self.log_loop + jx_hot
         else:
             B_hot = B0_hot
@@ -691,17 +778,17 @@ class Plan7Fused:
 
         if plan7:
             e_to_c = float(np.log(0.5)) if self.multihit else 0.0
-            cx_in = SR.add(
-                SR.add(hot_cx, SR.vecmat(cold[:, fb["C"]], j["enull0"])),
+            cx_in = self.sr.add(
+                self.sr.add(hot_cx, self.sr.vecmat(cold[:, fb["C"]], j["enull0"])),
                 e_to_c + e_hot)
-            cx_hot = SR.vecmat(cx_in, j["cloop"])
+            cx_hot = self.sr.vecmat(cx_in, j["cloop"])
             c_hot = self.log_loop + cx_hot
             t_hot = self.log_exit + cx_hot
         else:
             cx_hot = c_hot = zero_bv
             t_hot = e_hot
         if ix0_hot is not None:
-            i0_hot = SR.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
+            i0_hot = self.sr.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
             ix0_v = ix0_hot
         else:
             i0_hot = ix0_v = zero_bv
@@ -710,7 +797,7 @@ class Plan7Fused:
                             j_hot, jx_hot, t_hot, i0_hot, ix0_v], axis=1)
         x_hot = jnp.concatenate(
             [m_hot, mx_hot, i_hot, ix_hot, d_hot, flanks], axis=1)
-        return SR.add(x_hot, cold)                           # (B,NB,St)
+        return self.sr.add(x_hot, cold)                           # (B,NB,St)
 
     def _forward_batch_impl(self, toks, lens):
         """Batch-major fused Forward: toks (B, Lo) output token ids,
@@ -723,11 +810,11 @@ class Plan7Fused:
         nb = self._nb
         fb = self._fb
         Bn = toks.shape[0]
-        neg = jnp.full((Bn, nb, St), SR.zero, jnp.float32)
-        neg_hot = jnp.full((Bn, 2 * K + 4, St), SR.zero, jnp.float32)
+        neg = jnp.full((Bn, nb, St), self.sr.zero, jnp.float32)
+        neg_hot = jnp.full((Bn, 2 * K + 4, St), self.sr.zero, jnp.float32)
 
-        start = jnp.full((St,), SR.zero, jnp.float32).at[0].set(0.0)
-        start = SR.vecmat(start, j["t_closure"])
+        start = jnp.full((St,), self.sr.zero, jnp.float32).at[0].set(0.0)
+        start = self.sr.vecmat(start, j["t_closure"])
         x0 = self._solve_row_batch(neg, neg_hot, start, Bn)
 
         em_src = jnp.array(self._em_src)
@@ -735,10 +822,10 @@ class Plan7Fused:
 
         def step(x, inp):
             y, pos = inp
-            cold = SR.matmul(x, j["ty0"][y])                 # (B,NB,St)
+            cold = self.sr.matmul(x, j["ty0"][y])                 # (B,NB,St)
             src = jnp.take(x, em_src, axis=1)                # (B,2K+4,St)
             emg = self._em_stack[y]                          # (B,2K+4,S,S)
-            hot = SR.matmul(src[:, :, None, :], emg)[:, :, 0, :]
+            hot = self.sr.matmul(src[:, :, None, :], emg)[:, :, 0, :]
             # cold arrivals at the hot destinations stay in `cold`; the
             # solver reads them separately (canonical interleaving)
             x_new = self._solve_row_batch(cold, hot, None, Bn)

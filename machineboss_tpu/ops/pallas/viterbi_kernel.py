@@ -77,13 +77,18 @@ def _viterbi_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, classes,
         if has_left:
             mrot_l[:] = ml_ref[:]
 
-    def maxplus_pass(acc_ref, mrot_ref, K, src_ref, sl_c):
+    def maxplus_pass(acc_ref, mrot_ref, K, src_ref, sl_c, src_chunk):
         """acc[r, c] = max(acc[r, c], max_k mrot[:, k] + src[k, c]),
-        rotating mrot one lane left per k so column k is always lane 0."""
+        rotating mrot one lane left per k so column k is always lane 0.
+        acc_ref/src local refs are chunk-sized; src_ref may be the full
+        slab (sliced by sl_c) or an already-chunked scratch."""
         def step(k, _):
             col = mrot_ref[:, 0:1]                       # (R, 1)
-            row = src_ref[pl.ds(k, 1), sl_c]             # (1, chunk)
-            acc_ref[:, sl_c] = jnp.maximum(acc_ref[:, sl_c], col + row)
+            if src_chunk:
+                row = src_ref[pl.ds(k, 1), :]            # (1, chunk)
+            else:
+                row = src_ref[pl.ds(k, 1), sl_c]
+            acc_ref[:] = jnp.maximum(acc_ref[:], col + row)
             mrot_ref[:] = pltpu.roll(mrot_ref[:], K - 1, 1)
             return 0
         jax.lax.fori_loop(0, K, step, 0)
@@ -98,42 +103,41 @@ def _viterbi_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, classes,
             sl_c = slice(c * chunk, (c + 1) * chunk)
             bnd = boundary[:, sl_c]
             if has_up or has_diag:
-                acc[:, sl_c] = jnp.full((To * S, chunk), NEG_INF,
-                                        jnp.float32)
+                acc[:] = jnp.full((To * S, chunk), NEG_INF, jnp.float32)
             if has_up:
-                maxplus_pass(acc, mrot_u, S, p1_ref, sl_c)
+                maxplus_pass(acc, mrot_u, S, p1_ref, sl_c, False)
             if has_diag:
                 v_dg = jnp.where(bnd, pltpu.roll(p2_ref[:, sl_c], 1, 1),
                                  NEG_INF)
                 for t in range(Ti):
-                    zbuf[t * S:(t + 1) * S, sl_c] = \
+                    zbuf[t * S:(t + 1) * S, :] = \
                         v_dg + xneg[t:t + 1, sl_c]
-                maxplus_pass(acc, mrot_d, Ti * S, zbuf, sl_c)
+                maxplus_pass(acc, mrot_d, Ti * S, zbuf, sl_c, True)
             if has_left:
-                vnbr[:, sl_c] = jnp.where(
+                vnbr[:] = jnp.where(
                     bnd, pltpu.roll(p1_ref[:, sl_c], 1, 1), NEG_INF)
-                accl[:, sl_c] = jnp.full((Ti * S, chunk), NEG_INF,
-                                         jnp.float32)
-                maxplus_pass(accl, mrot_l, S, vnbr, sl_c)
+                accl[:] = jnp.full((Ti * S, chunk), NEG_INF, jnp.float32)
+                maxplus_pass(accl, mrot_l, S, vnbr, sl_c, True)
 
-        # token-block selection over the full row
-        cur = None
-        if has_up or has_diag:
-            a = acc[:]
-            cur = a[0:S, :] + yneg[0:1, :]
-            for t in range(1, To):
-                cur = jnp.maximum(cur, a[t * S:(t + 1) * S, :]
-                                  + yneg[t:t + 1, :])
-        if has_left:
-            al = accl[:]
-            curl = al[0:S, :] + xneg[0:1, :]
-            for t in range(1, Ti):
-                curl = jnp.maximum(curl, al[t * S:(t + 1) * S, :]
-                                   + xneg[t:t + 1, :])
-            cur = curl if cur is None else jnp.maximum(cur, curl)
-        cur = jnp.maximum(jnp.where(valid, cur, NEG_INF), NEG_INF)
-        cur_write[:] = cur
-        lat_ref[0] = cur
+            # token-block selection for this chunk
+            cur = None
+            if has_up or has_diag:
+                a = acc[:]
+                cur = a[0:S, :] + yneg[0:1, sl_c]
+                for t in range(1, To):
+                    cur = jnp.maximum(cur, a[t * S:(t + 1) * S, :]
+                                      + yneg[t:t + 1, sl_c])
+            if has_left:
+                al = accl[:]
+                curl = al[0:S, :] + xneg[0:1, sl_c]
+                for t in range(1, Ti):
+                    curl = jnp.maximum(curl, al[t * S:(t + 1) * S, :]
+                                       + xneg[t:t + 1, sl_c])
+                cur = curl if cur is None else jnp.maximum(cur, curl)
+            cur = jnp.maximum(jnp.where(valid[:, sl_c], cur, NEG_INF),
+                              NEG_INF)
+            cur_write[:, sl_c] = cur
+            lat_ref[0, :, sl_c] = cur
 
     @pl.when((d > 0) & (d % 2 == 1))
     def _odd():
@@ -216,14 +220,17 @@ def make_wavefront_viterbi(a_diag, a_left, a_up, closure, B, Li, Lo,
 
     kernel = functools.partial(_viterbi_kernel, Ti, To, S, B, W, Li, Lo,
                                n_chunks, classes)
+    # work scratch is CHUNK-sized, not cells-sized: at B=256 the old
+    # (To*S, cells) accumulators alone were ~95 MB and blew the VMEM
+    # budget (PERF.md round-3 "B=256 exceeds compiler limits" cliff)
     scratch = [
         pltpu.VMEM((S, cells), jnp.float32),             # slabA
         pltpu.VMEM((S, cells), jnp.float32),             # slabB
-        pltpu.VMEM((To * S if (has_up or has_diag) else 8, cells),
+        pltpu.VMEM((To * S if (has_up or has_diag) else 8, chunk0),
                    jnp.float32),                         # acc (up+diag)
-        pltpu.VMEM((Ti * S if has_left else 8, cells), jnp.float32),
-        pltpu.VMEM((Ti * S if has_diag else 8, cells), jnp.float32),
-        pltpu.VMEM((S if has_left else 8, cells), jnp.float32),  # vnbr
+        pltpu.VMEM((Ti * S if has_left else 8, chunk0), jnp.float32),
+        pltpu.VMEM((Ti * S if has_diag else 8, chunk0), jnp.float32),
+        pltpu.VMEM((S if has_left else 8, chunk0), jnp.float32),  # vnbr
         pltpu.VMEM(mu.shape, jnp.float32),               # mrot_u
         pltpu.VMEM(md.shape, jnp.float32),               # mrot_d
         pltpu.VMEM(ml.shape, jnp.float32),               # mrot_l
@@ -271,3 +278,289 @@ def make_wavefront_viterbi(a_diag, a_left, a_up, closure, B, Li, Lo,
         return jnp.transpose(lat.reshape(n_diags, S, B, W), (0, 2, 3, 1))
 
     return viterbi
+
+
+# ------------------------------------------------------------------ banded
+
+def _viterbi_banded_kernel(Ti, To, S, Wb, n_diags, classes,
+                           # refs:
+                           mu_ref, md_ref, ml_ref, c0_ref,
+                           meta_ref,                     # SMEM scalars
+                           xoh_ref, yoh_ref,
+                           lat_ref,
+                           slabA, slabB, acc, accl, zbuf, vnbr,
+                           mrot_u, mrot_d, mrot_l):
+    """One anti-diagonal per grid step over a sliding band window.
+
+    The lattice is restricted to a per-diagonal interval
+    [lo_d, hi_d) of cell indices i; the window covers
+    [base_d, base_d + Wb) with base_d non-decreasing by AT MOST 1 per
+    diagonal (guaranteed for path±width envelopes — a guide alignment
+    advances i by at most one per unit d — and enforced by the host
+    builder). Neighbor windows therefore differ by shifts s1 = base_d -
+    base_{d-1} in {0,1} and s2 = base_d - base_{d-2} in {0,1,2}, so
+    neighbor access selects between STATIC pltpu.roll variants by a
+    streamed SMEM scalar — no dynamic lane slicing (Mosaic requires
+    128-aligned dynamic lane offsets; CLAUDE.md).
+
+    meta_ref (SMEM, (n_diags, 4) i32): [lo_d, hi_d, base_d, s1] rows;
+    s2 is reconstructed as s1_d + s1_{d-1} via base arithmetic:
+    s2 = base_d - base_{d-2} = meta[d][2] - meta[d-2][2].
+    xoh/yoh: per-diagonal (Ti|To, Wb) one-hots for the window's cells.
+    lat_ref: this diagonal's (1, S, Wb) window values.
+    """
+    has_up, has_left, has_diag = classes
+    d = pl.program_id(0)
+    lo = meta_ref[d, 0]
+    hi = meta_ref[d, 1]
+    base = meta_ref[d, 2]
+    s1 = meta_ref[d, 3]
+
+    i_w = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
+    i_glob = base + i_w
+    valid = (i_glob >= lo) & (i_glob < hi)
+
+    @pl.when(d == 0)
+    def _init():
+        v0 = c0_ref[:] + jnp.where(i_glob == 0, 0.0, NEG_INF)
+        v0 = jnp.maximum(jnp.where(valid, v0, NEG_INF), NEG_INF)
+        slabB[:] = v0
+        slabA[:] = jnp.full_like(slabA, NEG_INF)
+        lat_ref[0] = v0
+        if has_up:
+            mrot_u[:] = mu_ref[:]
+        if has_diag:
+            mrot_d[:] = md_ref[:]
+        if has_left:
+            mrot_l[:] = ml_ref[:]
+
+    def shifted(p_ref, shift, extra_left):
+        """Neighbor slab aligned into this diagonal's window: value at
+        window index w comes from prev index w + shift - extra_left
+        (extra_left=1 for the i-1 neighbors). shift is a traced scalar
+        in {0,1,2}; wrap positions are masked to NEG_INF."""
+        p = p_ref[:]
+        net0 = -extra_left                      # net roll for shift == 0
+        outs = []
+        for sv in (0, 1, 2):
+            net = sv - extra_left
+            if net == 0:
+                outs.append(p)
+            else:
+                # value[w] = p[w + net]  ==  roll left by net
+                outs.append(pltpu.roll(p, (-net) % Wb, 1))
+        sel = jnp.where(shift == 0, outs[0],
+                        jnp.where(shift == 1, outs[1], outs[2]))
+        # mask positions whose source index w + shift - extra_left is
+        # outside [0, Wb)
+        src = i_w + shift - extra_left
+        ok = (src >= 0) & (src < Wb)
+        return jnp.where(ok, sel, NEG_INF)
+
+    def maxplus_pass(acc_ref, mrot_ref, K, src):
+        def step(k, _):
+            col = mrot_ref[:, 0:1]
+            row = jax.lax.dynamic_slice_in_dim(src, k, 1, 0)
+            acc_ref[:] = jnp.maximum(acc_ref[:], col + row)
+            mrot_ref[:] = pltpu.roll(mrot_ref[:], K - 1, 1)
+            return 0
+        jax.lax.fori_loop(0, K, step, 0)
+
+    def body(p1_ref, p2_ref, cur_write):
+        s2 = s1 + meta_ref[jnp.maximum(d - 1, 0), 3]
+        xneg = jnp.where(xoh_ref[0] > 0.5, 0.0, NEG_INF)    # (Ti, Wb)
+        yneg = jnp.where(yoh_ref[0] > 0.5, 0.0, NEG_INF)    # (To, Wb)
+
+        if has_up or has_diag:
+            acc[:] = jnp.full((To * S, Wb), NEG_INF, jnp.float32)
+        if has_up:
+            v_up = shifted(p1_ref, s1, 0)
+            maxplus_pass(acc, mrot_u, S, v_up)
+        if has_diag:
+            v_dg = shifted(p2_ref, s2, 1)
+            for t in range(Ti):
+                zbuf[t * S:(t + 1) * S, :] = v_dg + xneg[t:t + 1, :]
+            maxplus_pass(acc, mrot_d, Ti * S, zbuf[:])
+        if has_left:
+            vnbr[:] = shifted(p1_ref, s1, 1)
+            accl[:] = jnp.full((Ti * S, Wb), NEG_INF, jnp.float32)
+            maxplus_pass(accl, mrot_l, S, vnbr[:])
+
+        cur = None
+        if has_up or has_diag:
+            a = acc[:]
+            cur = a[0:S, :] + yneg[0:1, :]
+            for t in range(1, To):
+                cur = jnp.maximum(cur, a[t * S:(t + 1) * S, :]
+                                  + yneg[t:t + 1, :])
+        if has_left:
+            al = accl[:]
+            curl = al[0:S, :] + xneg[0:1, :]
+            for t in range(1, Ti):
+                curl = jnp.maximum(curl, al[t * S:(t + 1) * S, :]
+                                   + xneg[t:t + 1, :])
+            cur = curl if cur is None else jnp.maximum(cur, curl)
+        cur = jnp.maximum(jnp.where(valid, cur, NEG_INF), NEG_INF)
+        cur_write[:] = cur
+        lat_ref[0] = cur
+
+    @pl.when((d > 0) & (d % 2 == 1))
+    def _odd():
+        body(slabB, slabA, slabA)
+
+    @pl.when((d > 0) & (d % 2 == 0))
+    def _even():
+        body(slabA, slabB, slabB)
+
+
+def band_windows(lo, hi, pad=128):
+    """Window geometry for per-diagonal bands [lo_d, hi_d).
+
+    Returns (bases, s1, Wb): non-decreasing bases advancing <= 1/step
+    (clamped under lo_d where the band jumps faster — the window is then
+    simply wider), and Wb = lane-aligned max(hi_d - base_d)."""
+    n = len(lo)
+    bases = np.zeros(n, np.int32)
+    for d in range(1, n):
+        bases[d] = min(max(bases[d - 1], 0) + 1, max(lo[d], 0))
+        bases[d] = max(bases[d], bases[d - 1])
+    w = max(int(hi[d] - bases[d]) for d in range(n))
+    Wb = _round_up(max(w, 1), pad)
+    s1 = np.zeros(n, np.int32)
+    s1[1:] = bases[1:] - bases[:-1]
+    assert (s1 >= 0).all() and (s1 <= 1).all()
+    return bases, s1, Wb
+
+
+def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
+                                  lo, hi, interpret=False):
+    """Envelope-banded Pallas MAXPLUS wavefront for ONE sequence pair.
+
+    lo/hi: per-diagonal [lo_d, hi_d) bands of cell index i (from
+    core.seqpair.Envelope via envelope_diag_bands). Only band cells are
+    computed — the full-lattice kernel's per-diagonal work drops from
+    O(W_full) to O(band width) lanes (the reference's --wiggle-room
+    banding, ref src/seqpair.h:75-113, on the device fill path).
+
+    Returns fn(in_toks (Li,), out_toks (Lo,)) -> (lattice (Li+1, Lo+1, S)
+    ndarray with NEG_INF outside the band), for the host traceback."""
+    Ti, To, S, _ = a_diag.shape
+    n_diags = Li + Lo + 1
+    lo = np.asarray(lo, np.int64)
+    hi = np.asarray(hi, np.int64)
+    assert len(lo) == n_diags and len(hi) == n_diags
+    bases, s1, Wb = band_windows(lo, hi)
+    meta = np.stack([lo.astype(np.int32), hi.astype(np.int32),
+                     bases.astype(np.int32), s1], axis=1)     # (n_diags, 4)
+
+    def lg(a):
+        return np.maximum(np.asarray(a, np.float64), NEG_INF)
+
+    dg, lf, up, cl = lg(a_diag), lg(a_left), lg(a_up), lg(closure)
+    has_up = bool((up > NEG_INF / 2).any())
+    has_left = bool((lf > NEG_INF / 2).any())
+    has_diag = bool((dg > NEG_INF / 2).any())
+    if not (has_up or has_left or has_diag):
+        has_diag = True
+    classes = (has_up, has_left, has_diag)
+
+    def clamp32(m):
+        return np.maximum(m, NEG_INF).astype(np.float32)
+
+    mu = np.concatenate([_mp_mat(up[t], cl).T for t in range(To)], axis=0) \
+        if has_up else np.full((8, 128), NEG_INF)
+    md = np.full((To * S, Ti * S), NEG_INF)
+    if has_diag:
+        for ty in range(To):
+            for ti in range(Ti):
+                md[ty * S:(ty + 1) * S, ti * S:(ti + 1) * S] = \
+                    _mp_mat(dg[ti, ty], cl).T
+    else:
+        md = np.full((8, 128), NEG_INF)
+    ml = np.concatenate([_mp_mat(lf[t], cl).T for t in range(Ti)], axis=0) \
+        if has_left else np.full((8, 128), NEG_INF)
+    mu, md, ml = clamp32(mu), clamp32(md), clamp32(ml)
+    c0 = clamp32(np.broadcast_to(cl[0:1, :].T, (S, Wb)))
+
+    kernel = functools.partial(_viterbi_banded_kernel, Ti, To, S, Wb,
+                               n_diags, classes)
+    scratch = [
+        pltpu.VMEM((S, Wb), jnp.float32),                # slabA
+        pltpu.VMEM((S, Wb), jnp.float32),                # slabB
+        pltpu.VMEM((To * S if (has_up or has_diag) else 8, Wb),
+                   jnp.float32),                         # acc
+        pltpu.VMEM((Ti * S if has_left else 8, Wb), jnp.float32),
+        pltpu.VMEM((Ti * S if has_diag else 8, Wb), jnp.float32),
+        pltpu.VMEM((S if has_left else 8, Wb), jnp.float32),
+        pltpu.VMEM(mu.shape, jnp.float32),
+        pltpu.VMEM(md.shape, jnp.float32),
+        pltpu.VMEM(ml.shape, jnp.float32),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_diags,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # meta
+            pl.BlockSpec((1, Ti, Wb), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),               # xoh
+            pl.BlockSpec((1, To, Wb), lambda d: (d, 0, 0),
+                         memory_space=pltpu.VMEM),               # yoh
+        ],
+        out_specs=pl.BlockSpec((1, S, Wb), lambda d: (d, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_diags, S, Wb), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def viterbi(in_toks, out_toks):
+        in_toks = np.asarray(in_toks, np.int64)
+        out_toks = np.asarray(out_toks, np.int64)
+        # host-built per-diagonal window one-hots (band geometry is host
+        # data anyway); x token at cell i is in_toks[i-1], y token at
+        # (i, o = d - i) is out_toks[o-1]
+        xoh = np.zeros((n_diags, Ti, Wb), np.float32)
+        yoh = np.zeros((n_diags, To, Wb), np.float32)
+        for d in range(n_diags):
+            for w in range(min(Wb, int(hi[d] - bases[d]))):
+                i = int(bases[d]) + w
+                if i < int(lo[d]) or i >= int(hi[d]):
+                    continue
+                o = d - i
+                if 1 <= i <= Li:
+                    xoh[d, int(in_toks[i - 1]), w] = 1.0
+                if 1 <= o <= Lo:
+                    yoh[d, int(out_toks[o - 1]), w] = 1.0
+        lat = np.asarray(call(jnp.array(mu), jnp.array(md), jnp.array(ml),
+                              jnp.array(c0), jnp.array(meta),
+                              jnp.array(xoh), jnp.array(yoh)))
+        # scatter windows back into the full (Li+1, Lo+1, S) lattice
+        full = np.full((Li + 1, Lo + 1, S), NEG_INF, np.float64)
+        for d in range(n_diags):
+            for w in range(min(Wb, int(hi[d] - bases[d]))):
+                i = int(bases[d]) + w
+                o = d - i
+                if int(lo[d]) <= i < int(hi[d]) and 0 <= o <= Lo:
+                    full[i, o] = lat[d, :, w]
+        return full
+
+    return viterbi
+
+
+def envelope_diag_bands(env):
+    """Per-diagonal [lo_d, hi_d) cell-index bands from a row Envelope
+    (core.seqpair.Envelope: in_start[o] <= i < in_end[o])."""
+    Li = env.in_len
+    Lo = env.out_len
+    n_diags = Li + Lo + 1
+    lo = np.full(n_diags, 10**9, np.int64)
+    hi = np.full(n_diags, -10**9, np.int64)
+    for o in range(Lo + 1):
+        for i in range(env.in_start[o], env.in_end[o]):
+            d = i + o
+            lo[d] = min(lo[d], i)
+            hi[d] = max(hi[d], i + 1)
+    lo = np.where(hi > lo, lo, 0)
+    hi = np.where(hi > lo, hi, 1)
+    return lo, hi

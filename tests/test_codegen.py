@@ -53,10 +53,11 @@ def stripnames(text):
     return json.dumps([[t[2]] for t in data], separators=(",", ":"))
 
 
-def _build_and_run(tmp_path, machine_file, use_viterbi, args):
+def _build_and_run(tmp_path, machine_file, use_viterbi, args,
+                   is_64bit=True):
     m = Machine.from_file(machine_file)
-    gen_dir = str(tmp_path / "gen")
-    c = CPlusPlusCompiler(is_64bit=True)
+    gen_dir = str(tmp_path / ("gen32", "gen64")[is_64bit])
+    c = CPlusPlusCompiler(is_64bit=is_64bit)
     c.use_max_reduce = use_viterbi
     c.compile_forward(m, SEQ_STRING, SEQ_STRING, gen_dir)
     with open(os.path.join(gen_dir, "main.cpp"), "w") as f:
@@ -222,3 +223,46 @@ int main(int argc, char** argv) {
     got = roundfloats(out, 4).strip()
     golden = open(REF + "/t/expect/101-bitnoise-001.json").read().rstrip("\n")
     assert got == golden, (got, golden)
+
+
+def test_codegen_cpp32_matches_golden(tmp_path):
+    """--cpp32 (int32 IntLog) reproduces the same golden as --cpp64 on
+    in-range values (the reference's 32/64 builds agree in range too,
+    ref src/softplus.h:14-20)."""
+    out = _build_and_run(tmp_path, REF + "/t/machine/bitnoise.json", False,
+                         ["101", "001", REF + "/t/io/params.json"],
+                         is_64bit=False)
+    got = stripnames(roundfloats(out, 4))
+    golden = open(REF + "/t/expect/101-bitnoise-001.json").read().rstrip("\n")
+    assert got == golden, (got, golden)
+
+
+def test_codegen_intlog_width_is_load_bearing(tmp_path):
+    """The 32-bit build clamps at 0x1FFFFFFF * 1e-4 = 53687 nats while the
+    64-bit build does not (ref src/softplus.h:14-20): a 600-step path of
+    e^-100 transitions (total log -60000) is -inf under --cpp32 and finite
+    under --cpp64."""
+    machine = {"state": [
+        {"id": "s", "trans": [
+            {"in": "a", "out": "a", "to": "s", "weight": 3.7200759760e-44},
+            {"to": "e", "weight": 1}]},
+        {"id": "e", "trans": []}]}
+    mf = str(tmp_path / "deep.json")
+    with open(mf, "w") as f:
+        json.dump(machine, f)
+    seq = "a" * 600
+    out64 = _build_and_run(tmp_path, mf, False, [seq, seq], is_64bit=True)
+    out32 = _build_and_run(tmp_path, mf, False, [seq, seq], is_64bit=False)
+    v64 = json.loads(out64.replace("-inf", "-1e999"))[0][2]
+    v32 = json.loads(out32.replace("-inf", "-1e999"))[0][2]
+    assert -60010 < v64 < -59990, v64
+    assert v32 == -float("inf") or v32 < -1e29, v32
+
+
+def test_codegen_intlog_semantics(tmp_path):
+    """Generated values are integer logs at 1e-4 precision: the result is
+    an exact multiple of 1e-4 (up to double formatting)."""
+    out = _build_and_run(tmp_path, REF + "/t/machine/bitnoise.json", False,
+                         ["101", "001", REF + "/t/io/params.json"])
+    v = json.loads(out)[0][2]
+    assert abs(v / 1e-4 - round(v / 1e-4)) < 1e-6, v

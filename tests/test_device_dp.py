@@ -245,3 +245,49 @@ def test_forward_1d_scan_probs_batch_matches_scan():
     live = ref > -1e29
     assert np.all((got > -1e29) == live)
     assert np.abs(ref[live] - got[live]).max() < 1e-4
+
+
+def test_forward_1d_blocked_matches_scan():
+    """Blocked engine (host-f64 k-token transfer table + device fold)
+    equals the per-sequence scan, incl. ragged lengths and padding."""
+    import jax.numpy as jnp
+    from machineboss_tpu.ops.dp1d import (make_forward_1d_blocked,
+                                          forward_1d_scan)
+    rng = np.random.RandomState(3)
+    S, n_tok = 24, 4
+    p = rng.dirichlet(np.ones(S), size=(n_tok, S)).transpose(0, 2, 1)
+    trans = np.log(p).astype(np.float32)
+    closure = np.where(np.eye(S, dtype=bool), 0.0, -1e30).astype(np.float32)
+    B, L = 7, 301
+    toks = rng.randint(0, n_tok, (B, L)).astype(np.int32)
+    lens = np.array([301, 300, 256, 17, 1, 0, 128], np.int32)
+    tj, cj = jnp.array(trans), jnp.array(closure)
+    fn = make_forward_1d_blocked(tj, cj)
+    got = np.array(fn(jnp.array(toks), jnp.array(lens)))
+    for b in range(B):
+        want = float(forward_1d_scan(tj, cj, jnp.array(toks[b]),
+                                     int(lens[b])))
+        if want < -1e29:
+            assert got[b] < -1e29
+        else:
+            assert abs(got[b] - want) < 1e-3, (b, want, got[b])
+
+
+def test_token_block_table_exact():
+    """The host f64 block table equals explicit chained products."""
+    from machineboss_tpu.ops.dp1d import (build_token_block_table,
+                                          _np_log_matmul_batch)
+    rng = np.random.RandomState(5)
+    S, n_tok = 6, 3
+    trans = np.log(rng.dirichlet(np.ones(S), size=(n_tok, S))
+                   ).transpose(0, 2, 1)
+    table, k = build_token_block_table(trans, k=3)
+    base = n_tok + 1
+    eye = np.where(np.eye(S, dtype=bool), 0.0, -1e30)
+    lvl = np.concatenate([trans, eye[None]])
+    for combo in ((0, 1, 2), (2, 2, 0), (n_tok, 1, n_tok), (0, 0, 0)):
+        want = lvl[combo[0]]
+        for t in combo[1:]:
+            want = _np_log_matmul_batch(want[None], lvl[t][None])[0]
+        cid = (combo[0] * base + combo[1]) * base + combo[2]
+        np.testing.assert_allclose(table[cid], want, atol=1e-12)

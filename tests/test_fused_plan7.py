@@ -168,3 +168,86 @@ def test_fused_flat_batch_matches_vmap():
         for n in (0, 3, 7):
             want = _oracle(gen, td, "".join(reads[n]))
             assert abs(flat[n] - want) < 5e-3, (mode, local, multihit, n)
+
+
+# ---------------------------------------------------------------- Viterbi
+
+def _vit_oracle(gen, td, out_seq):
+    from machineboss_tpu.algo.dp_host import ViterbiMatrix
+    comp = Machine.compose(gen, td)
+    ev = EvaluatedMachine(comp, comp.get_param_defs(True))
+    return ViterbiMatrix(ev, SeqPair(NamedSeq("i", []),
+                                     NamedSeq("o", list(out_seq)))).log_like()
+
+
+_COMBOS = (("core", True, False), ("core", False, False),
+           ("plan7", True, False), ("plan7", True, True))
+
+
+def test_fused_viterbi_modes_toy():
+    """Semiring-parameterized fused Viterbi (MAXPLUS), all four
+    mode x multihit combos (the reference's fused Plan7 is likewise
+    semiring-parameterized, ref python/machineboss/jax/fused_plan7.py:
+    636-645, and like the reference's the fused max never reproduces the
+    silent-path sums compose() folds in before the host Viterbi runs —
+    see ops/fused_plan7.loop_closure). Asserted exactly:
+      - device == the f64 product-graph oracle (algo/fused_align.py)
+      - the sandwich vit_fused <= vit_composed <= fwd_fused"""
+    from machineboss_tpu.algo.fused_align import FusedViterbiAligner
+    hmm, td, td_ev = _setup()
+    for mode, local, multihit in _COMBOS:
+        fused = Plan7Fused(hmm, td_ev, mode=mode, local=local,
+                           multihit=multihit, length=10.0, n_hit=4,
+                           semiring="maxplus")
+        fwd = Plan7Fused(hmm, td_ev, mode=mode, local=local,
+                         multihit=multihit, length=10.0, n_hit=4)
+        gen = hmm.machine(local) if mode == "core" else \
+            hmm.plan7_machine(multihit=multihit, length=10.0)
+        oracle = FusedViterbiAligner(gen, td)
+        for seq in ("A", "ACG", "TTACGACGTT", "GT"):
+            got = fused.forward(list(seq))
+            want = oracle.score(seq)
+            if want == -np.inf:
+                assert got < -1e20, (mode, multihit, seq, got)
+                continue
+            assert abs(got - want) < 1e-4, (mode, local, multihit, seq,
+                                            want, got)
+            comp_v = _vit_oracle(gen, td, seq)
+            f = fwd.forward(list(seq))
+            assert got <= comp_v + 1e-4, (mode, local, multihit, seq)
+            assert comp_v <= f + 5e-3, (mode, local, multihit, seq)
+
+
+def test_fused_viterbi_fn3():
+    """fn3.hmm (86 nodes) fused Viterbi, all four combos, per-read and
+    batch-major flat solver, against the f64 product-graph oracle."""
+    from conftest import REF
+    from machineboss_tpu.algo.fused_align import FusedViterbiAligner
+    hmm = HmmerModel.from_file(REF + "/t/hmmer/fn3.hmm")
+    td = Machine.from_json(_TD_PROT)
+    td_ev = EvaluatedMachine(td, td.get_param_defs(True))
+    seq = "ACDEFGHIKLMNPQRSTVWYACDEFG"
+    for mode, local, multihit in _COMBOS:
+        fused = Plan7Fused(hmm, td_ev, mode=mode, local=local,
+                           multihit=multihit, length=10.0, n_hit=4,
+                           semiring="maxplus")
+        gen = hmm.machine(local) if mode == "core" else \
+            hmm.plan7_machine(multihit=multihit, length=10.0)
+        oracle = FusedViterbiAligner(gen, td)
+        want = oracle.score(seq)
+        got = fused.forward(list(seq))
+        assert abs(got - want) < 2e-4, (mode, local, multihit, want, got)
+        flat = fused.forward_batch([list(seq), list(seq[:7])], impl="flat")
+        assert abs(flat[0] - want) < 2e-4, (mode, local, multihit)
+        want7 = oracle.score(seq[:7])
+        assert abs(flat[1] - want7) < 2e-4, (mode, local, multihit)
+
+
+def test_fused_viterbi_le_forward():
+    """Metamorphic: Viterbi <= Forward through the fused engine."""
+    hmm, td, td_ev = _setup()
+    fwd = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True, length=10.0)
+    vit = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True, length=10.0,
+                     semiring="maxplus")
+    for seq in ("ACG", "TTACGACGTT"):
+        assert vit.forward(list(seq)) <= fwd.forward(list(seq)) + 1e-6

@@ -449,16 +449,46 @@ def test_js_gpu_modules_parse_and_shaders_are_structural(api):
     """GPU dispatch modules must load (parse) even with no WebGPU, and
     the runtime shaders keep the reference wavefront interface: uniform
     params, storage buffers, compute entry, log-sum-exp."""
-    for shader in ("wavefront2d.wgsl", "prefixscan1d.wgsl"):
+    entry_shaders = ("wavefront2d.wgsl", "wavefront2d-backward.wgsl",
+                     "prefixscan1d.wgsl", "posteriors2d.wgsl",
+                     "transferbuild1d.wgsl", "transferbuild1d-profile.wgsl",
+                     "extract1d.wgsl", "fusedplan7-single.wgsl",
+                     "fusedplan7-batch.wgsl")
+    for shader in entry_shaders:
         with open(os.path.join(JS_ROOT, "shaders", shader)) as f:
             src = f.read()
-        assert "@compute" in src
-        assert "var<uniform>" in src
-        assert "var<storage" in src
-        assert "workgroup_size" in src
-    with open(os.path.join(JS_ROOT, "shaders", "wavefront2d.wgsl")) as f:
-        wf = f.read()
-    assert "fn lse(" in wf and "workgroupBarrier" in wf
+        assert "@compute" in src, shader
+        assert "workgroup_size" in src, shader
+    for shader in ("wavefront2d.wgsl", "wavefront2d-backward.wgsl",
+                   "prefixscan1d.wgsl", "posteriors2d.wgsl",
+                   "transferbuild1d.wgsl", "transferbuild1d-profile.wgsl",
+                   "extract1d.wgsl"):
+        with open(os.path.join(JS_ROOT, "shaders", shader)) as f:
+            src = f.read()
+        assert "var<uniform>" in src, shader
+        assert "var<storage" in src, shader
+    for shader in ("wavefront2d.wgsl", "wavefront2d-backward.wgsl"):
+        with open(os.path.join(JS_ROOT, "shaders", shader)) as f:
+            wf = f.read()
+        assert "fn lse(" in wf and "workgroupBarrier" in wf, shader
+    # library blocks (prepended by gpu modules, no entry point of their own)
+    with open(os.path.join(JS_ROOT, "shaders", "logmath.wgsl")) as f:
+        lm = f.read()
+    assert "fn lse(" in lm and "@compute" not in lm
+    with open(os.path.join(JS_ROOT, "shaders",
+                           "fusedplan7-common.wgsl")) as f:
+        fc = f.read()
+    # the common core carries the full fused contract: bindings, the row
+    # solver, the advance, and the per-read driver
+    for needle in ("var<uniform> P : FusedParams", "fn solveRow",
+                   "fn advanceRow", "fn runRead", "binding(6)"):
+        assert needle in fc, needle
+    assert "@compute" not in fc
+    # every entry pairs with the common block (module concatenation)
+    for shader in ("fusedplan7-single.wgsl", "fusedplan7-batch.wgsl"):
+        with open(os.path.join(JS_ROOT, "shaders", shader)) as f:
+            src = f.read()
+        assert "runRead(" in src, shader
 
 
 def test_js_silent_cycles_and_composition(api):

@@ -146,3 +146,37 @@ def test_data_parallel_forward_equals_single_chip():
             assert out8[n] < -1e20
         else:
             assert abs(out8[n] - host) < 1e-2, (n, host, out8[n])
+
+
+def test_diag_sharded_2d_wavefront_matches_local():
+    """A single 2D lattice length-sharded over the diagonal dimension
+    (each chip owns a band of cells per anti-diagonal, ppermute boundary
+    exchange): 8-chip == 1-chip == unsharded jnp wavefront."""
+    from machineboss_tpu.parallel.lengthshard import (
+        diag_sharded_wavefront_fn)
+    from machineboss_tpu.ops.wavefront import forward_2d_wavefront
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.ops.lowering import LoweredMachine
+
+    from bench import build_random_transducer
+    m = build_random_transducer(7, list("ACGT"), seed=11)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    mats = tuple(jnp.array(x) for x in lm.matrices_2d())
+
+    rng = np.random.RandomState(5)
+    B, Li, Lo = 3, 23, 17
+    it = jnp.array(rng.randint(0, 4, (B, Li)).astype(np.int32))
+    ot = jnp.array(rng.randint(0, 4, (B, Lo)).astype(np.int32))
+    ils = jnp.array([Li, 11, 0], jnp.int32)
+    ols = jnp.array([Lo, 9, 0], jnp.int32)
+
+    want = np.array(forward_2d_wavefront(*mats, it, ot, ils, ols))
+
+    devs = jax.devices()
+    for n in (1, 8):
+        mesh = Mesh(np.array(devs[:n]), ("len",))
+        fn = diag_sharded_wavefront_fn(mesh)
+        got = np.array(fn(*mats, it, ot, ils, ols))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-4,
+                                   err_msg="n=%d" % n)

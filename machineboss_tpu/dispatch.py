@@ -35,13 +35,14 @@ def _load_dispatch_table():
         return None
     try:
         with open(path) as f:
-            table = json.load(f)
+            doc = json.load(f)
     except Exception:
         return None
     import jax
-    if table.get("backend") != jax.default_backend():
-        return None
-    return table
+    backend = jax.default_backend()
+    if "backends" in doc:
+        return doc["backends"].get(backend)
+    return doc if doc.get("backend") == backend else None
 
 
 class CompiledMachine:

@@ -868,6 +868,32 @@ class Plan7Fused:
             lens[n] = len(s)
         return self.forward_batch_tokens(toks, lens, impl=impl)
 
+    def forward_stream(self, batches, impl="auto"):
+        """Score a STREAM of (toks, lens) batches with pipelined
+        dispatch: every device call is enqueued before any result is
+        pulled back, so the fixed per-invocation overhead (~24 ms on
+        the 2026-08 axon runtime, PERF.md) overlaps with device compute
+        instead of serializing with it — the steady-state serving shape
+        (the reference's WebGPU batch pipeline keeps multiple dispatches
+        in flight the same way, ref js/webgpu/gpu/fused-plan7-batch.mjs).
+        Returns [np.ndarray per batch]."""
+        import jax.numpy as jnp
+        if impl == "auto":
+            impl = "flat" if self._solver == "prefix" else "vmap"
+        if impl == "flat":
+            if not hasattr(self, "_fb"):
+                self._init_flat()
+            if not hasattr(self, "_fwd_flat"):
+                self._fwd_flat = jax.jit(self._forward_batch_impl)
+            fn = self._fwd_flat
+        else:
+            if not hasattr(self, "_fwd_batch"):
+                self._fwd_batch = jax.jit(jax.vmap(self._forward_impl))
+            fn = self._fwd_batch
+        pending = [fn(jnp.asarray(t), jnp.asarray(ln))
+                   for t, ln in batches]      # async dispatch, no sync
+        return [np.array(p) for p in pending]
+
     def forward_batch_tokens(self, toks, lens, impl="auto"):
         """Device call on pre-tokenized reads: toks (B, Lo) 1-based
         output token ids (padded), lens (B,) real lengths. Use this when

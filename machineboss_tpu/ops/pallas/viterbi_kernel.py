@@ -288,7 +288,7 @@ def _viterbi_banded_kernel(Ti, To, S, Wb, n_diags, classes,
                            meta_ref,                     # SMEM scalars
                            xoh_ref, yoh_ref,
                            lat_ref,
-                           slabA, slabB, acc, accl, zbuf, vnbr,
+                           slabA, slabB, acc, accl, zbuf, vnbr, vup,
                            mrot_u, mrot_d, mrot_l):
     """One anti-diagonal per grid step over a sliding band window.
 
@@ -303,18 +303,23 @@ def _viterbi_banded_kernel(Ti, To, S, Wb, n_diags, classes,
     streamed SMEM scalar — no dynamic lane slicing (Mosaic requires
     128-aligned dynamic lane offsets; CLAUDE.md).
 
-    meta_ref (SMEM, (n_diags, 4) i32): [lo_d, hi_d, base_d, s1] rows;
-    s2 is reconstructed as s1_d + s1_{d-1} via base arithmetic:
-    s2 = base_d - base_{d-2} = meta[d][2] - meta[d-2][2].
+    meta_ref (VMEM, (8, 128) i32 blocks, row d%8 for diagonal d):
+    columns [lo_d, hi_d, base_d, s1_d, s2_d, ...pad]. Streamed in
+    8-row blocks because Mosaic requires sublane-divisible block shapes
+    and a full (n_diags, .) scalar array blows the SMEM budget
+    (both measured on v5e at L=1500). All uses stay VECTOR ops —
+    (1,1)-sliced values broadcast against the window iota, so no
+    vector-to-scalar extraction is ever needed.
     xoh/yoh: per-diagonal (Ti|To, Wb) one-hots for the window's cells.
     lat_ref: this diagonal's (1, S, Wb) window values.
     """
     has_up, has_left, has_diag = classes
     d = pl.program_id(0)
-    lo = meta_ref[d, 0]
-    hi = meta_ref[d, 1]
-    base = meta_ref[d, 2]
-    s1 = meta_ref[d, 3]
+    mrow = meta_ref[d % 8, :]                              # (128,) i32
+    lo = mrow[0:1][:, None]                                # (1, 1)
+    hi = mrow[1:2][:, None]
+    base = mrow[2:3][:, None]
+    s1 = mrow[3:4][:, None]
 
     i_w = jax.lax.broadcasted_iota(jnp.int32, (1, Wb), 1)
     i_glob = base + i_w
@@ -337,10 +342,10 @@ def _viterbi_banded_kernel(Ti, To, S, Wb, n_diags, classes,
     def shifted(p_ref, shift, extra_left):
         """Neighbor slab aligned into this diagonal's window: value at
         window index w comes from prev index w + shift - extra_left
-        (extra_left=1 for the i-1 neighbors). shift is a traced scalar
-        in {0,1,2}; wrap positions are masked to NEG_INF."""
+        (extra_left=1 for the i-1 neighbors). shift is a traced (1, 1)
+        value in {0,1,2}; selection between the static roll variants is
+        a broadcast where, and wrap positions are masked to NEG_INF."""
         p = p_ref[:]
-        net0 = -extra_left                      # net roll for shift == 0
         outs = []
         for sv in (0, 1, 2):
             net = sv - extra_left
@@ -349,42 +354,47 @@ def _viterbi_banded_kernel(Ti, To, S, Wb, n_diags, classes,
             else:
                 # value[w] = p[w + net]  ==  roll left by net
                 outs.append(pltpu.roll(p, (-net) % Wb, 1))
-        sel = jnp.where(shift == 0, outs[0],
-                        jnp.where(shift == 1, outs[1], outs[2]))
+        # (1,1) -> (1,Wb) first: Mosaic cannot broadcast sublanes and
+        # lanes in one step ("Broadcast in both sublanes and lanes")
+        sh_w = jnp.broadcast_to(shift, (1, Wb))
+        sel = jnp.where(sh_w == 0, outs[0],
+                        jnp.where(sh_w == 1, outs[1], outs[2]))
         # mask positions whose source index w + shift - extra_left is
         # outside [0, Wb)
         src = i_w + shift - extra_left
         ok = (src >= 0) & (src < Wb)
         return jnp.where(ok, sel, NEG_INF)
 
-    def maxplus_pass(acc_ref, mrot_ref, K, src):
+    def maxplus_pass(acc_ref, mrot_ref, K, src_ref):
+        # src must be a VMEM ref: Mosaic only lowers dynamic row slices
+        # on refs (pl.ds), not on materialized values
         def step(k, _):
             col = mrot_ref[:, 0:1]
-            row = jax.lax.dynamic_slice_in_dim(src, k, 1, 0)
+            row = src_ref[pl.ds(k, 1), :]
             acc_ref[:] = jnp.maximum(acc_ref[:], col + row)
             mrot_ref[:] = pltpu.roll(mrot_ref[:], K - 1, 1)
             return 0
         jax.lax.fori_loop(0, K, step, 0)
 
     def body(p1_ref, p2_ref, cur_write):
-        s2 = s1 + meta_ref[jnp.maximum(d - 1, 0), 3]
+        s2 = mrow[4:5][:, None]
         xneg = jnp.where(xoh_ref[0] > 0.5, 0.0, NEG_INF)    # (Ti, Wb)
         yneg = jnp.where(yoh_ref[0] > 0.5, 0.0, NEG_INF)    # (To, Wb)
 
         if has_up or has_diag:
             acc[:] = jnp.full((To * S, Wb), NEG_INF, jnp.float32)
         if has_up:
-            v_up = shifted(p1_ref, s1, 0)
-            maxplus_pass(acc, mrot_u, S, v_up)
+            vup[:] = shifted(p1_ref, s1, 0)
+            maxplus_pass(acc, mrot_u, S, vup)
         if has_diag:
             v_dg = shifted(p2_ref, s2, 1)
             for t in range(Ti):
                 zbuf[t * S:(t + 1) * S, :] = v_dg + xneg[t:t + 1, :]
-            maxplus_pass(acc, mrot_d, Ti * S, zbuf[:])
+            maxplus_pass(acc, mrot_d, Ti * S, zbuf)
         if has_left:
             vnbr[:] = shifted(p1_ref, s1, 1)
             accl[:] = jnp.full((Ti * S, Wb), NEG_INF, jnp.float32)
-            maxplus_pass(accl, mrot_l, S, vnbr[:])
+            maxplus_pass(accl, mrot_l, S, vnbr)
 
         cur = None
         if has_up or has_diag:
@@ -450,8 +460,16 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
     hi = np.asarray(hi, np.int64)
     assert len(lo) == n_diags and len(hi) == n_diags
     bases, s1, Wb = band_windows(lo, hi)
-    meta = np.stack([lo.astype(np.int32), hi.astype(np.int32),
-                     bases.astype(np.int32), s1], axis=1)     # (n_diags, 4)
+    s2 = np.zeros(n_diags, np.int32)
+    s2[2:] = bases[2:] - bases[:-2]
+    s2[1] = bases[1] - bases[0]
+    n_pad8 = _round_up(n_diags, 8)
+    meta = np.zeros((n_pad8, 128), np.int32)
+    meta[:n_diags, 0] = lo
+    meta[:n_diags, 1] = hi
+    meta[:n_diags, 2] = bases
+    meta[:n_diags, 3] = s1
+    meta[:n_diags, 4] = s2
 
     def lg(a):
         return np.maximum(np.asarray(a, np.float64), NEG_INF)
@@ -492,6 +510,7 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
         pltpu.VMEM((Ti * S if has_left else 8, Wb), jnp.float32),
         pltpu.VMEM((Ti * S if has_diag else 8, Wb), jnp.float32),
         pltpu.VMEM((S if has_left else 8, Wb), jnp.float32),
+        pltpu.VMEM((S if has_up else 8, Wb), jnp.float32),   # vup
         pltpu.VMEM(mu.shape, jnp.float32),
         pltpu.VMEM(md.shape, jnp.float32),
         pltpu.VMEM(ml.shape, jnp.float32),
@@ -500,7 +519,8 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
         kernel,
         grid=(n_diags,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4 + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # meta
+            pl.BlockSpec((8, 128), lambda d: (d // 8, 0),
+                         memory_space=pltpu.VMEM),               # meta
             pl.BlockSpec((1, Ti, Wb), lambda d: (d, 0, 0),
                          memory_space=pltpu.VMEM),               # xoh
             pl.BlockSpec((1, To, Wb), lambda d: (d, 0, 0),
@@ -514,35 +534,40 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
         interpret=interpret,
     )
 
+    # vectorized window geometry (python loops here were 10x the device
+    # fill time at L=1500 — measured)
+    ds_g = np.arange(n_diags)[:, None]                    # (n_diags, 1)
+    ws_g = np.arange(Wb)[None, :]                         # (1, Wb)
+    i_g = bases[:, None] + ws_g                           # (n_diags, Wb)
+    o_g = ds_g - i_g
+    in_band = (i_g >= lo[:, None]) & (i_g < hi[:, None]) & (o_g >= 0) \
+        & (o_g <= Lo)
+    mu_j, md_j, ml_j = jnp.array(mu), jnp.array(md), jnp.array(ml)
+    c0_j, meta_j = jnp.array(c0), jnp.array(meta)
+
     def viterbi(in_toks, out_toks):
         in_toks = np.asarray(in_toks, np.int64)
         out_toks = np.asarray(out_toks, np.int64)
-        # host-built per-diagonal window one-hots (band geometry is host
-        # data anyway); x token at cell i is in_toks[i-1], y token at
-        # (i, o = d - i) is out_toks[o-1]
+        # per-diagonal window one-hots: x token at cell i is
+        # in_toks[i-1], y token at (i, o = d - i) is out_toks[o-1]
         xoh = np.zeros((n_diags, Ti, Wb), np.float32)
         yoh = np.zeros((n_diags, To, Wb), np.float32)
-        for d in range(n_diags):
-            for w in range(min(Wb, int(hi[d] - bases[d]))):
-                i = int(bases[d]) + w
-                if i < int(lo[d]) or i >= int(hi[d]):
-                    continue
-                o = d - i
-                if 1 <= i <= Li:
-                    xoh[d, int(in_toks[i - 1]), w] = 1.0
-                if 1 <= o <= Lo:
-                    yoh[d, int(out_toks[o - 1]), w] = 1.0
-        lat = np.asarray(call(jnp.array(mu), jnp.array(md), jnp.array(ml),
-                              jnp.array(c0), jnp.array(meta),
+        xm = in_band & (i_g >= 1) & (i_g <= Li)
+        if Li:
+            xt = in_toks[np.clip(i_g - 1, 0, Li - 1)]
+            dd, ww = np.nonzero(xm)
+            xoh[dd, xt[dd, ww], ww] = 1.0
+        ym = in_band & (o_g >= 1) & (o_g <= Lo)
+        if Lo:
+            yt = out_toks[np.clip(o_g - 1, 0, Lo - 1)]
+            dd, ww = np.nonzero(ym)
+            yoh[dd, yt[dd, ww], ww] = 1.0
+        lat = np.asarray(call(mu_j, md_j, ml_j, c0_j, meta_j,
                               jnp.array(xoh), jnp.array(yoh)))
         # scatter windows back into the full (Li+1, Lo+1, S) lattice
         full = np.full((Li + 1, Lo + 1, S), NEG_INF, np.float64)
-        for d in range(n_diags):
-            for w in range(min(Wb, int(hi[d] - bases[d]))):
-                i = int(bases[d]) + w
-                o = d - i
-                if int(lo[d]) <= i < int(hi[d]) and 0 <= o <= Lo:
-                    full[i, o] = lat[d, :, w]
+        dd, ww = np.nonzero(in_band & (i_g <= Li))
+        full[i_g[dd, ww], o_g[dd, ww]] = lat[dd, :, ww]
         return full
 
     return viterbi

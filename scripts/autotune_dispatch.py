@@ -113,9 +113,19 @@ def main():
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "machineboss_tpu", "dispatch_table.json")
+    doc = {"backends": {}}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            if "backends" in prev:
+                doc = prev
+        except Exception:
+            pass
+    doc["backends"][backend] = table
     with open(out, "w") as f:
-        json.dump(table, f, indent=1, sort_keys=True)
-    print("wrote", out)
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print("wrote", out, "backend", backend)
 
 
 if __name__ == "__main__":

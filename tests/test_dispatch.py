@@ -157,3 +157,45 @@ def test_log_forward_batch_bucketed_matches_flat():
                                     bucket=True)
     assert np.allclose(flat, bucketed, atol=1e-5, rtol=0), \
         np.abs(flat - bucketed).max()
+
+
+def test_dispatch_table_ships_and_routes():
+    """The MEASURED dispatch table (scripts/autotune_dispatch.py) is
+    committed and consulted: engine='auto' decisions cite measurements
+    on this install instead of the unmeasured guess the reference
+    documents as pathological (ref API.md:87-91)."""
+    import json
+    import os
+    import machineboss_tpu.dispatch as dsp
+
+    path = os.path.join(os.path.dirname(dsp.__file__),
+                        "dispatch_table.json")
+    assert os.path.exists(path), "dispatch_table.json must be committed"
+    with open(path) as f:
+        doc = json.load(f)
+    assert "cpu" in doc["backends"]          # CI backend always measured
+    table = dsp._load_dispatch_table()
+    assert table is not None                 # current backend is covered
+    assert "derived" in table and "assoc_min_L_by_S" in table["derived"]
+    for row in table["one_d"]:
+        assert row["winner"] in ("scan", "assoc")
+        assert row["scan_s"] > 0 and row["assoc_s"] > 0
+
+    # routing follows the measured thresholds
+    gen = {"state": [
+        {"id": "g", "trans": [
+            {"out": c, "to": "g", "weight": 0.2} for c in "ACGT"
+        ] + [{"to": "e", "weight": 0.2}]},
+        {"id": "e", "trans": []}]}
+    cm = dsp.CompiledMachine(gen)
+    by_s = table["derived"]["assoc_min_L_by_S"]
+    S = cm.ev.n_states()
+    keys = sorted(int(k) for k in by_s) if by_s else []
+    if keys:
+        nearest = min(keys, key=lambda k: abs(k - S))
+        thr = by_s[str(nearest)]
+        assert cm._strategy(0, thr, "auto") == "assoc"
+        if thr > 1:
+            assert cm._strategy(0, thr - 1, "auto") == "scan"
+    else:
+        assert cm._strategy(0, 10**6, "auto") == "scan"

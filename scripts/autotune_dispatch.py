@@ -26,11 +26,16 @@ import numpy as np
 
 
 def _time(fn, reps=3):
-    fn()  # compile
+    """fn must RETURN the result array; timing forces a host readback
+    (np.asarray) — on the axon remote runtime, block_until_ready alone
+    returned ~0.1 ms for every workload regardless of size (measured:
+    an 8192-step scan cannot take 0.1 ms), so readback is the only
+    trustworthy completion barrier here."""
+    np.asarray(fn())  # compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        fn()
+        np.asarray(fn())
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
@@ -65,9 +70,9 @@ def main():
         for L in (128, 512, 2048, 8192):
             toks = jnp.array(rng.randint(0, 4, L), jnp.int32)
             t_scan = _time(lambda: dp1d.forward_1d_scan(
-                trans, closure, toks, L).block_until_ready())
+                trans, closure, toks, L))
             t_assoc = _time(lambda: dp1d.forward_1d_assoc(
-                trans, closure, toks, L).block_until_ready())
+                trans, closure, toks, L))
             win = "assoc" if t_assoc < t_scan else "scan"
             table["one_d"].append({"S": S, "L": L, "scan_s": t_scan,
                                    "assoc_s": t_assoc, "winner": win})
@@ -88,11 +93,9 @@ def main():
             otb = ot[None, :]
             lens = jnp.full((1,), L, jnp.int32)
             t_rows = _time(lambda: dp2d.forward_2d(
-                a_diag, a_left, a_up, closure, it, ot, L, L)
-                .block_until_ready())
+                a_diag, a_left, a_up, closure, it, ot, L, L))
             t_wave = _time(lambda: forward_2d_wavefront_fast(
-                a_diag, a_left, a_up, closure, itb, otb, lens, lens)
-                .block_until_ready())
+                a_diag, a_left, a_up, closure, itb, otb, lens, lens))
             win = "wavefront" if t_wave < t_rows else "rows"
             table["two_d"].append({"S": S, "L": L, "rows_s": t_rows,
                                    "wavefront_s": t_wave, "winner": win})

@@ -184,3 +184,32 @@ def test_cli_fused_align_golden():
         # the match emissions — those can never be spliced)
         assert [a for a in fan if a.startswith("Mx")] == \
             [a for a in han if a.startswith("Mx")], (fan, han)
+
+
+def test_cli_fused_fn3_multihit():
+    """The flagship HMMER case end-to-end through the CLI: fn3.hmm
+    (multihit plan7) x protein reads, --engine fused — the composition
+    this avoids takes >10 minutes to materialize on host (PERF.md)."""
+    import os
+    import tempfile
+    from test_golden_cli import run_cli
+    td = _TD_PROT
+    d = tempfile.mkdtemp()
+    tf = os.path.join(d, "td.json")
+    with open(tf, "w") as f:
+        json.dump(td, f)
+    rf = os.path.join(d, "reads.json")
+    with open(rf, "w") as f:
+        json.dump([{"input": {"name": "", "sequence": []},
+                    "output": {"name": "r1",
+                               "sequence": list("ACDEFGHIKLMN")}}], f)
+    status, out = run_cli(["--hmmer-multihit", REF + "/t/hmmer/fn3.hmm",
+                           tf, "--viterbi", "--align", "--data", rf,
+                           "--engine", "fused"])
+    assert status in (0, None)
+    lines = out.splitlines()
+    scores = json.loads(lines[0] + lines[1] if not lines[0].endswith("]")
+                        else lines[0])
+    assert scores[0][1] == "r1" and np.isfinite(scores[0][2])
+    al = json.loads("".join(lines[1 if lines[0].endswith("]") else 2:]))
+    assert "".join(c for _, c in al[0]["alignment"]) == "ACDEFGHIKLMN"

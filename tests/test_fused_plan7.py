@@ -251,3 +251,21 @@ def test_fused_viterbi_le_forward():
                      semiring="maxplus")
     for seq in ("ACG", "TTACGACGTT"):
         assert vit.forward(list(seq)) <= fwd.forward(list(seq)) + 1e-6
+
+
+def test_forward_stream_matches_blocking():
+    """Pipelined stream dispatch returns the same scores as blocking
+    per-batch calls (the floor-hiding serving path, PERF.md)."""
+    hmm, td, td_ev = _setup()
+    f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True, length=10.0,
+                   solver="prefix")
+    rng = np.random.RandomState(7)
+    batches = []
+    for _ in range(3):
+        toks = rng.randint(1, 5, (4, 8)).astype(np.int32)
+        lens = rng.randint(1, 9, 4).astype(np.int32)
+        batches.append((toks, lens))
+    streamed = f.forward_stream(batches)
+    for (toks, lens), got in zip(batches, streamed):
+        want = f.forward_batch_tokens(toks, lens)
+        np.testing.assert_allclose(got, want, atol=1e-6)

@@ -477,14 +477,17 @@ def main():
         if workload == "prot2dna":
             variant = "lowrank"
         else:
-            variant = None if ragged else "chained"
+            # round-4: the RAGGED chained kernel (per-chain stagger,
+            # streamed metadata) lifts ragged dense off the merged
+            # fallback — uniform batches keep the plain chained kernel
+            variant = "chained_ragged" if ragged else "chained"
     chain = int(os.environ.get("BENCH_CHAIN", "0")) or None
-    if chain is None and variant == "chained":
+    if chain is None and variant in ("chained", "chained_ragged"):
         chain = 8
     if ragged:
         assert variant != "chained" and not (
             variant == "lowrank" and chain), \
-            "chained variants need uniform lengths"
+            "the uniform chained variant needs uniform lengths"
     n_buckets = int(os.environ.get("BENCH_BUCKETS", "1"))
     run = None
     if engine == "pallas":
@@ -534,12 +537,22 @@ def main():
                         out[idx] = vals[:n_real]
                     return jnp.array(out)
             else:
+                hint = None
+                if variant == "chained_ragged":
+                    from machineboss_tpu.ops.pallas.wavefront_kernel \
+                        import ragged_span
+                    hint = ragged_span(np.asarray(in_lens),
+                                       np.asarray(out_lens), chain)
+                    sys.stderr.write("ragged span: %d (worst case %d)\n"
+                                     % (hint, (Lo + 2) * (chain - 1)
+                                        + Li + Lo + 1))
                 fwd = make_wavefront_forward(a_diag, a_left, a_up,
                                              closure, B, Li, Lo,
                                              merged=merged,
                                              n_chunks=n_chunks,
                                              split=split,
-                                             variant=variant, chain=chain)
+                                             variant=variant, chain=chain,
+                                             n_abs_hint=hint)
 
                 def run():
                     return fwd(in_toks, out_toks, in_lens, out_lens)

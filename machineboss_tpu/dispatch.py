@@ -179,11 +179,55 @@ class CompiledMachine:
         (PERF.md records the measurement behind the threshold)."""
         if not self.is_dense:
             return np.array([self.log_forward(i, o) for i, o in pairs])
+        one_d = self.machine.input_empty() != self.machine.output_empty()
+        if one_d:
+            # exactly one empty side: route to the VMEM-resident Pallas
+            # 1D scan kernel (4.99 G cells/s at S=64 L=10000 — PERF.md);
+            # jnp scan off-TPU. Fully-closed machines (both sides empty)
+            # stay on the generic padded path.
+            return self._log_forward_batch_1d(pairs, pad_multiple)
         toks = [(self.in_toks(i), self.out_toks(o)) for i, o in pairs]
         if bucket and len(toks) >= 64:
             return self._log_forward_batch_bucketed(toks, engine,
                                                     pad_multiple)
         return self._log_forward_batch_padded(toks, engine, pad_multiple)
+
+    def _log_forward_batch_1d(self, pairs, pad_multiple):
+        import jax
+        import jax.numpy as jnp
+        from .ops.fwdback import pad_bucket
+
+        out_side = self.machine.input_empty()
+        seqs = [self.out_toks(o) if out_side else self.in_toks(i)
+                for i, o in pairs]
+        B = len(seqs)
+        L = pad_bucket(max((len(s) for s in seqs), default=1),
+                       base=pad_multiple)
+        toks = np.zeros((B, L), np.int32)
+        lens = np.zeros(B, np.int32)
+        for n, sq in enumerate(seqs):
+            toks[n, :len(sq)] = sq
+            lens[n] = len(sq)
+        key = ("1d_mats", out_side)
+        if key not in self._cache:
+            self._cache[key] = tuple(
+                np.asarray(x) for x in self.lowered.emit_matrices_1d(
+                    output_side=out_side))
+        trans, closure = self._cache[key]
+        if jax.default_backend() not in ("cpu",):
+            pkey = ("1d_pallas", out_side, B, L)
+            if pkey not in self._cache:
+                from .ops.pallas.scan1d_kernel import make_forward_1d_pallas
+                self._cache[pkey] = make_forward_1d_pallas(
+                    trans, closure, B, L)
+            return check_finite("log_forward_batch_1d",
+                                np.asarray(self._cache[pkey](
+                                    jnp.array(toks), jnp.array(lens))))
+        from .ops import dp1d
+        fn = dp1d.make_batched(dp1d.forward_1d_scan)
+        return check_finite("log_forward_batch_1d", np.asarray(
+            fn(jnp.array(trans), jnp.array(closure), jnp.array(toks),
+               jnp.array(lens))))
 
     def _log_forward_batch_bucketed(self, toks, engine, pad_multiple):
         from .ops.fwdback import pad_bucket

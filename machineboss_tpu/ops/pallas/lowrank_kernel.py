@@ -362,7 +362,14 @@ def _lowrank_kernel(spec, *args):
         m_new = jnp.where(valid, mu, NEG_INF)
         m2_ref[:] = m_new
 
-        @pl.when(d % rescale_every == 0)
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
         def _rescale():
             curv = p2_ref[:]
             mx = jnp.max(curv, axis=0, keepdims=True)
@@ -498,7 +505,14 @@ def _lowrank_kernel(spec, *args):
         m_new = jnp.where(valid, mu, NEG_INF)
         m2_ref[:] = m_new
 
-        @pl.when(d % rescale_every == 0)
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
         def _rescale():
             curv = p2_ref[:]
             mx = jnp.max(curv, axis=0, keepdims=True)

@@ -210,7 +210,14 @@ def _merged_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         m_new = jnp.where(valid, mu, NEG_INF)
         m2_ref[:] = m_new
 
-        @pl.when(d % rescale_every == 0)
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
         def _rescale():
             curv = p2_ref[:]
             mx = jnp.max(curv, axis=0, keepdims=True)
@@ -414,7 +421,14 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         m_new = jnp.where(valid, mu, NEG_INF)
         m2_ref[:] = m_new
 
-        @pl.when(d % rescale_every == 0)
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
         def _rescale():
             curv = p2_ref[:]
             mx = jnp.max(curv, axis=0, keepdims=True)
@@ -453,6 +467,219 @@ def _chained_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
     def _odd_step():
         tk = tok_ref[0, 1]
         body(d_odd, tk[0:1, :], tk[1:2, :], slabB, mB, slabA, mA)
+
+
+def ragged_span(in_lens, out_lens, n_chain):
+    """Exact diagonal span of the sorted shared-stagger ragged schedule
+    (host-side; pass as n_abs_hint to make_wavefront_forward)."""
+    ol = np.sort(np.asarray(out_lens))[::-1]
+    il_by = np.asarray(in_lens)[np.argsort(-np.asarray(out_lens),
+                                           kind="stable")]
+    B = len(ol) // n_chain
+    lomax = [int(ol[k * B:(k + 1) * B].max()) for k in range(n_chain)]
+    limax = [int(il_by[k * B:(k + 1) * B].max()) for k in range(n_chain)]
+    D = 0
+    span = 0
+    for k in range(n_chain):
+        span = max(span, D + limax[k] + lomax[k] + 1)
+        D += lomax[k] + 2
+    return span
+
+
+def _chained_ragged_kernel(Ti, To, S, B, W, n_abs, n_chunks, precision,
+                           split, rescale_every, sink, classes, n_chain,
+                           # refs:
+                           m_ud_ref, m_left_ref, m_ud_lo_ref, m_left_lo_ref,
+                           c0_ref, w_ref, tok_ref, icell_ref,
+                           res_ref,
+                           slabA, slabB, mA, mB):
+    """RAGGED sequence-chained merged kernel.
+
+    Generalizes _chained_kernel to PER-SEQUENCE lengths: each W-lane
+    window chains its own sequences with per-chain stagger
+    D[w, k+1] = D[w, k] + Lo[w, k] + 2 (the neighbor-coherence margins
+    only involve the chain's OWN length, so the uniform-case safety
+    argument carries over unchanged). All per-lane bookkeeping moves to
+    HOST-precomputed streamed rows: the (1, 2, 4, cells) token block
+    carries [x token, y token, finishing-chain index (-1 if none),
+    flags (0 dead, 1 valid, 2 valid+fresh-chain-start)] per diagonal —
+    the kernel keeps no (f, kidx) arithmetic at all, which is what makes
+    arbitrary raggedness free. Captures test the streamed finish row
+    every diagonal instead of one fixed diagonal per chain."""
+    has_up, has_left, has_diag = classes
+    unify = has_left and (has_up or has_diag)
+    s_id = pl.program_id(0)
+    cells = B * W
+    chunk = cells // n_chunks
+    i_cells = icell_ref[:]
+
+    def readout(p_ref):
+        if sink:
+            return jnp.sum(p_ref[:] * w_ref[:], axis=0, keepdims=True)
+        return p_ref[S - 1:S, :]
+
+    def init():
+        valid0 = i_cells == 0
+        init_mask = valid0.astype(jnp.float32)
+        row0 = c0_ref[:]                         # (S, 1) closure^T col 0
+        slabB[:] = row0 * init_mask
+        mB[:] = jnp.where(valid0, 0.0, NEG_INF)
+        slabA[:] = jnp.zeros_like(slabA)
+        mA[:] = jnp.full_like(mA, NEG_INF)
+        res_ref[:] = jnp.full_like(res_ref, NEG_INF)
+
+    def body(d, xtok, ytok, fink, flags, p1_ref, m1_ref, p2_ref, m2_ref):
+        valid = flags >= 1
+        init_now = flags == 2
+        boundary = i_cells > 0
+        xtok_f = xtok.astype(jnp.float32)
+        ytok_f = ytok.astype(jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+
+        def rollc(x):
+            return pltpu.roll(x, 1, 1)
+
+        def mm(mat_ref, lo_ref, x):
+            if not split:
+                return jax.lax.dot_general(
+                    mat_ref[:], x, dn, precision=precision,
+                    preferred_element_type=jnp.float32)
+            xhi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            xlo = x - xhi
+            dd = jax.lax.dot_general
+            return (dd(mat_ref[:], xhi, dn,
+                       preferred_element_type=jnp.float32)
+                    + dd(mat_ref[:], xlo, dn,
+                         preferred_element_type=jnp.float32)
+                    + dd(lo_ref[:], xhi, dn,
+                         preferred_element_type=jnp.float32))
+
+        # in-kernel one-hot masks from the streamed token rows, built over
+        # the FULL row before chunking: Mosaic rejects sublane broadcasts
+        # of lane-offset slices ("Invalid input layout" on
+        # vector.broadcast), so the (1, cells) -> (T, cells) broadcasts
+        # must happen at lane offset 0 and be sliced afterwards
+        xm_full = xtok_f == jax.lax.broadcasted_iota(
+            jnp.int32, (Ti, cells), 0).astype(jnp.float32)
+        ym_full = ytok_f == jax.lax.broadcasted_iota(
+            jnp.int32, (To, cells), 0).astype(jnp.float32)
+
+        mu_parts = []
+        for c in range(n_chunks):
+            lo_c, hi_c = c * chunk, (c + 1) * chunk
+            bnd = boundary[:, lo_c:hi_c]
+            m1c = m1_ref[:, lo_c:hi_c]
+            mu_terms = []
+            if has_up:
+                mu_terms.append(m1c)
+            if has_left:
+                m1s = jnp.where(bnd, rollc(m1c), NEG_INF)
+                mu_terms.append(m1s)
+            if has_diag:
+                m2s = jnp.where(bnd, rollc(m2_ref[:, lo_c:hi_c]), NEG_INF)
+                mu_terms.append(m2s)
+            mu_c = functools.reduce(jnp.maximum, mu_terms)
+            mu_safe = jnp.where(mu_c > NEG_INF / 2, mu_c, 0.0)
+            mu_parts.append(mu_c)
+
+            p1c = p1_ref[:, lo_c:hi_c]
+
+            xm = xm_full[:, lo_c:hi_c]
+            ym = ym_full[:, lo_c:hi_c]
+
+            z_parts = []
+            if has_up:
+                w_up = jnp.exp(m1c - mu_safe) * (m1c > NEG_INF / 2)
+                z_parts.append(p1c * w_up)
+            if has_diag:
+                w_diag = jnp.exp(m2s - mu_safe) * (m2s > NEG_INF / 2)
+                p2s = jnp.where(bnd, rollc(p2_ref[:, lo_c:hi_c]), 0.0)
+                xw_diag = jnp.where(xm, w_diag, 0.0)
+                z_parts += [p2s * xw_diag[t:t + 1, :] for t in range(Ti)]
+            if has_left and unify:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1c), 0.0)
+                xw_left = jnp.where(xm, w_left, 0.0)
+                z_parts += [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
+
+            cur = None
+            if z_parts:
+                z = jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1 \
+                    else z_parts[0]              # (S + 2*Ti*S, chunk) max
+                out_ud = mm(m_ud_ref, m_ud_lo_ref, z)
+                cur = jnp.where(ym[0:1, :], out_ud[0 * S:1 * S, :], 0.0)
+                for t in range(1, To):
+                    cur += jnp.where(ym[t:t + 1, :],
+                                     out_ud[t * S:(t + 1) * S, :], 0.0)
+                if unify:
+                    ynone = ~(ym[0:1, :])
+                    for t in range(1, To):
+                        ynone = ynone & ~(ym[t:t + 1, :])
+                    cur += jnp.where(ynone,
+                                     out_ud[To * S:(To + 1) * S, :], 0.0)
+            if has_left and not unify:
+                w_left = jnp.exp(m1s - mu_safe) * (m1s > NEG_INF / 2)
+                p1s = jnp.where(bnd, rollc(p1c), 0.0)
+                xw_left = jnp.where(xm, w_left, 0.0)
+                l_parts = [p1s * xw_left[t:t + 1, :] for t in range(Ti)]
+                lz = jnp.concatenate(l_parts, axis=0)   # (Ti*S, chunk)
+                sl = mm(m_left_ref, m_left_lo_ref, lz)
+                cur = sl if cur is None else cur + sl
+            # fresh chain start: cell (0,0) = closure column 0, scale 0
+            cur = jnp.where(init_now[:, lo_c:hi_c], c0_ref[:], cur)
+            p2_ref[:, lo_c:hi_c] = cur
+        mu = jnp.concatenate(mu_parts, axis=1)
+        mu = jnp.where(init_now, 0.0, mu)
+
+        m_new = jnp.where(valid, mu, NEG_INF)
+        m2_ref[:] = m_new
+
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
+        def _rescale():
+            curv = p2_ref[:]
+            mx = jnp.max(curv, axis=0, keepdims=True)
+            has = (mx > 0) & valid
+            p2_ref[:] = jnp.where(has, curv / jnp.maximum(mx, 1e-37), 0.0)
+            m2_ref[:] = jnp.where(has,
+                                  m_new + jnp.log(jnp.maximum(mx, 1e-37)),
+                                  NEG_INF)
+
+        # finishing lanes carry their chain index in the streamed row
+        endp = readout(p2_ref)
+        val = jnp.where(endp > 0,
+                        m2_ref[:] + jnp.log(jnp.maximum(endp, 1e-37)),
+                        jnp.full_like(m_new, NEG_INF))
+        for k in range(n_chain):
+            res_ref[k:k + 1, :] = jnp.where(fink == k, val,
+                                            res_ref[k:k + 1, :])
+
+    d_even = 2 * s_id
+    d_odd = d_even + 1
+
+    @pl.when(s_id == 0)
+    def _first():
+        init()
+
+    @pl.when(s_id > 0)
+    def _even_step():
+        tk = tok_ref[0, 0]
+        body(d_even, tk[0:1, :], tk[1:2, :], tk[2:3, :], tk[3:4, :],
+             slabA, mA, slabB, mB)
+
+    @pl.when(d_odd <= n_abs - 1)
+    def _odd_step():
+        tk = tok_ref[0, 1]
+        body(d_odd, tk[0:1, :], tk[1:2, :], tk[2:3, :], tk[3:4, :],
+             slabB, mB, slabA, mA)
+
+
 
 
 def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
@@ -562,7 +789,14 @@ def _seqscale_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, rescale_every,
                 cur += out_ud[t * S:(t + 1) * S, :] * yoh_c[t:t + 1, :]
             split_write(b_hi, b_lo, sl_c, cur)
 
-        @pl.when(d % rescale_every == 0)
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
         def _rescale():
             va = jnp.max(a_hi[:].astype(f32), axis=0, keepdims=True)
             vb = jnp.max(b_hi[:].astype(f32), axis=0, keepdims=True)
@@ -773,7 +1007,14 @@ def _factored_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, precision, split,
         m_new = jnp.where(valid, mu, NEG_INF)
         m2_ref[:] = m_new
 
-        @pl.when(d % rescale_every == 0)
+        # fire on TWO consecutive diagonals so BOTH parities get
+        # rescaled: diagonal-class mass lives entirely on one parity
+        # (cells (j, j) sit at d = start + 2j), and a chain starting on
+        # an odd diagonal would otherwise NEVER be renormalized — its
+        # probabilities decay until exp underflows f32 at |path log|
+        # ~87.9 nats (measured: a ragged chained window starting at
+        # d=113 returned -inf exactly when the f64 oracle crossed -87.9)
+        @pl.when(d % rescale_every <= 1)
         def _rescale():
             curv = p2_ref[:]
             mx = jnp.max(curv, axis=0, keepdims=True)
@@ -940,6 +1181,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                            precision=jax.lax.Precision.HIGHEST,
                            n_chunks=None, interpret=False, split=True,
                            merged=False, rescale_every=4, variant=None,
+                           n_abs_hint=None,
                            chain=None):
     """Build the pallas wavefront Forward for fixed machine tensors/shapes.
 
@@ -966,7 +1208,7 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                                     chain=chain)
     Ti, To, S, _ = a_diag.shape
     n_chain = 1
-    if variant == "chained":
+    if variant in ("chained", "chained_ragged"):
         n_chain = chain or 4
         assert B % n_chain == 0, "chained: B must be a multiple of chain"
         assert Li >= 1 and Lo >= 1, "chained: needs non-empty sequences"
@@ -1351,6 +1593,121 @@ def make_wavefront_forward(a_diag, a_left, a_up, closure, B, Li, Lo,
                 m_ud_hi, m_left_hi = m_ud, m_left
             c0 = np.ascontiguousarray(closure_t[:Sa, 0:1]) \
                 .astype(np.float32)
+
+        if variant == "chained_ragged":
+            # worst-case span: every chain at the padded (Li, Lo); actual
+            # shorter chains leave dead (masked) diagonals at the tail.
+            # Callers that know the batch lengths on host can trim the
+            # grid with n_abs_hint (ragged_span computes the exact span
+            # for the sorted shared-stagger schedule).
+            n_abs = n_abs_hint or ((Lo + 2) * (n_chain - 1) + Li + Lo + 1)
+            n_steps_ch = (n_abs + 1) // 2
+            kernel_ch = functools.partial(
+                _chained_ragged_kernel, Ti, To, S_k, B, W, n_abs,
+                n_chunks, precision, split, rescale_every, sink, classes,
+                n_chain)
+            call_ch = pl.pallas_call(
+                kernel_ch,
+                grid=(n_steps_ch,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
+                    pl.BlockSpec((1, 2, 4, cells), lambda s: (s, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),   # tok+meta
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # icell
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_chain, cells),
+                                               jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((S_k, cells), jnp.float32),
+                    pltpu.VMEM((S_k, cells), jnp.float32),
+                    pltpu.VMEM((1, cells), jnp.float32),
+                    pltpu.VMEM((1, cells), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=120 * 1024 * 1024),
+                interpret=interpret,
+            )
+
+            @jax.jit
+            def forward_chained_ragged(in_toks, out_toks, in_lens,
+                                       out_lens):
+                """Ragged batch with SHARED per-chain stagger: sequences
+                are length-sorted (inside jit, inverse-permuted on
+                return) into chains of B, and every window advances
+                chain k+1 at D[k+1] = D[k] + max_w ol[k, w] + 2 — the
+                shared D makes the chain index a (T, W) table independent
+                of the window, so every token gather is a contiguous
+                B-row gather (the per-window-offset formulation gathered
+                2.4e7 scalars and spent 1.1 s/call in XLA gather — 9x
+                the kernel itself, measured on v5e). Sorting keeps the
+                shared stagger tight: block maxima track block lengths.
+                Validity/finish masks stay per-window (broadcast
+                compares, no gathers)."""
+                order = jnp.argsort(-out_lens.astype(jnp.int32),
+                                    stable=True)
+                inv = jnp.argsort(order, stable=True)
+                in_s = in_toks[order].reshape(n_chain, B, Li) \
+                    .astype(jnp.int32)
+                out_s = out_toks[order].reshape(n_chain, B, Lo) \
+                    .astype(jnp.int32)
+                il3 = in_lens[order].reshape(n_chain, B).astype(jnp.int32)
+                ol3 = out_lens[order].reshape(n_chain, B) \
+                    .astype(jnp.int32)
+                lomax = jnp.max(ol3, axis=1)                # (K,)
+                D = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(lomax[:-1] + 2)])           # (K,)
+
+                T_pad = 2 * n_steps_ch
+                t_i = jnp.arange(T_pad)[:, None]            # (T, 1)
+                i_i = jnp.arange(W)[None, :]                # (1, W)
+                started = (D[None, None, :] + i_i[:, :, None]
+                           <= t_i[:, :, None])              # (T, W, K)
+                k_arr = jnp.sum(started, axis=2) - 1        # (T, W)
+                kc = jnp.clip(k_arr, 0, n_chain - 1)
+                okk = (k_arr >= 0) & (k_arr < n_chain)
+                f_arr = t_i - D[kc] - i_i                   # (T, W)
+                Li_c = max(Li, 1)
+                Lo_c = max(Lo, 1)
+                ic = jnp.broadcast_to(jnp.clip(i_i - 1, 0, Li_c - 1),
+                                      kc.shape)
+                oc = jnp.clip(f_arr - 1, 0, Lo_c - 1)
+                xg = in_s[kc, :, ic]                        # (T, W, B)
+                yg = out_s[kc, :, oc]
+                il_sel = il3[kc, :]                         # (T, W, B)
+                ol_sel = ol3[kc, :]
+                valid = (okk & (f_arr >= 0))[:, :, None] \
+                    & (f_arr[:, :, None] <= ol_sel) \
+                    & (i_i[:, :, None] <= il_sel)
+                flags = valid.astype(jnp.int32) \
+                    + (valid & ((f_arr == 0) & (i_i == 0))[:, :, None]
+                       ).astype(jnp.int32)
+                fink = jnp.where(valid
+                                 & (i_i[:, :, None] == il_sel)
+                                 & (f_arr[:, :, None] == ol_sel),
+                                 kc[:, :, None], -1)
+                xtok = jnp.where(valid & ((i_i >= 1))[:, :, None]
+                                 & (i_i[:, :, None] <= il_sel), xg, -1)
+                ytok = jnp.where(valid & ((f_arr >= 1))[:, :, None]
+                                 & (f_arr[:, :, None] <= ol_sel), yg, -1)
+
+                def flat(a):                    # (T, W, B) -> (T, B*W)
+                    return jnp.transpose(a, (0, 2, 1)).reshape(T_pad,
+                                                               cells)
+                tok = jnp.stack([flat(xtok), flat(ytok), flat(fink),
+                                 flat(flags)], axis=1) \
+                    .reshape(n_steps_ch, 2, 4, cells)
+                res = call_ch(jnp.array(m_ud_hi), jnp.array(m_left_hi),
+                              jnp.array(m_ud_lo), jnp.array(m_left_lo),
+                              jnp.array(c0), jnp.array(w_vec), tok,
+                              jnp.array(i_cell))
+                lanes = jnp.arange(B)[None, :] * W + il3    # (K, B)
+                sorted_res = jnp.take_along_axis(
+                    res, lanes.reshape(n_chain, B), axis=1) \
+                    .reshape(B_total)
+                return sorted_res[inv]
+
+            return forward_chained_ragged
 
         if variant == "chained":
             sigma = Lo + 2

@@ -199,3 +199,26 @@ def test_dispatch_table_ships_and_routes():
             assert cm._strategy(0, thr - 1, "auto") == "scan"
     else:
         assert cm._strategy(0, 10**6, "auto") == "scan"
+
+
+def test_log_forward_batch_1d_routing():
+    """1D batches (generator machines) route through the 1D batch path
+    and match per-sequence log_forward."""
+    import machineboss_tpu.dispatch as dsp
+    gen = {"state": [
+        {"id": "g", "trans": [
+            {"out": c, "to": "g", "weight": w}
+            for c, w in zip("ACGT", (0.3, 0.25, 0.2, 0.15))
+        ] + [{"to": "e", "weight": 0.1}]},
+        {"id": "e", "trans": []}]}
+    cm = dsp.CompiledMachine(gen)
+    rng = np.random.RandomState(0)
+    pairs = [("", "".join("ACGT"[i] for i in rng.randint(0, 4, n)))
+             for n in (5, 1, 17, 0, 9)]
+    batch = cm.log_forward_batch(pairs)
+    for (i, o), got in zip(pairs, batch):
+        want = cm.log_forward(i, o)
+        if want < -1e29:
+            assert got < -1e29
+        else:
+            assert abs(got - want) < 1e-4, (o, want, got)

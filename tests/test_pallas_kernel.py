@@ -348,3 +348,84 @@ def test_pallas_split_quality_tight():
                            jnp.array(ol)))
         err = np.abs(dev - refs).max()
         assert err < bound, (merged, variant, err)
+
+
+def test_chained_ragged_matches_oracle():
+    """The RAGGED chained kernel (per-window per-chain stagger
+    D[w,k+1] = D[w,k] + ol[k,w] + 2, host-streamed validity/finish
+    metadata) matches the f64 oracle on mixed-length batches, for both
+    a diag-only machine and one with insert/delete classes."""
+    from machineboss_tpu.ops.pallas.wavefront_kernel import \
+        make_wavefront_forward
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+    from bench import build_random_transducer
+    from machineboss_tpu.core.machine import Machine
+
+    rng = np.random.RandomState(1)
+
+    def check(machine, same_len):
+        ev = EvaluatedMachine(machine, machine.get_param_defs(True))
+        lm = LoweredMachine(ev, dtype=np.float32)
+        mats = tuple(np.asarray(x) for x in lm.matrices_2d())
+        B_total, Li, Lo, K = 8, 14, 14, 4
+        it = rng.randint(0, 4, (B_total, Li)).astype(np.int32)
+        ot = rng.randint(0, 4, (B_total, Lo)).astype(np.int32)
+        il = rng.randint(7, Li + 1, B_total).astype(np.int32)
+        ol = il.copy() if same_len else \
+            rng.randint(7, Lo + 1, B_total).astype(np.int32)
+        fn = make_wavefront_forward(*mats, B_total, Li, Lo, merged=True,
+                                    variant="chained_ragged", chain=K,
+                                    interpret=True)
+        got = np.array(fn(jnp.array(it), jnp.array(ot), jnp.array(il),
+                          jnp.array(ol)))
+        m64 = tuple(np.asarray(x, np.float64) for x in mats)
+        for b in range(B_total):
+            want = forward_2d_f64(*m64, it[b][:il[b]], ot[b][:ol[b]])
+            if want < -1e29:
+                assert got[b] < -1e29, b
+            else:
+                assert abs(got[b] - want) < 2e-3, (b, want, got[b])
+
+    check(build_random_transducer(6, list("ACGT"), seed=3), True)
+    indel = {"state": [
+        {"id": "s", "trans": [
+            {"in": a, "out": b, "to": "s",
+             "weight": 0.4 if a == b else 0.04}
+            for a in "ACGT" for b in "ACGT"
+        ] + [{"in": a, "to": "s", "weight": 0.01} for a in "ACGT"
+        ] + [{"out": b, "to": "s", "weight": 0.01} for b in "ACGT"
+        ] + [{"to": "e", "weight": 0.1}]},
+        {"id": "e", "trans": []}]}
+    check(Machine.from_json(indel), False)
+
+
+def test_chained_ragged_odd_start_deep_chain():
+    """Regression: a chain starting on an ODD diagonal whose path
+    log-weight passes -87.9 nats (the f32 exp underflow line). Diagonal-
+    class mass lives on one parity, so a rescale condition firing only
+    at d % k == 0 never renormalized odd-parity chains — this exact
+    configuration returned -inf before the both-parity rescale fix."""
+    from machineboss_tpu.ops.pallas.wavefront_kernel import \
+        make_wavefront_forward
+    from machineboss_tpu.ops.host_oracle import forward_2d_f64
+    from bench import build_random_transducer
+
+    m = build_random_transducer(64, list("ACGT"), seed=42)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    lm = LoweredMachine(ev, dtype=np.float32)
+    mats = tuple(np.asarray(x) for x in lm.matrices_2d())
+    rng = np.random.RandomState(1)
+    Li = Lo = 100
+    it = rng.randint(0, 4, (4, Li)).astype(np.int32)
+    ot = rng.randint(0, 4, (4, Lo)).astype(np.int32)
+    il = np.array([56, 53, 99], np.int32)   # chain 2 starts at d=113 (odd)
+    fn = make_wavefront_forward(*mats, 3, Li, Lo, merged=True,
+                                variant="chained_ragged", chain=3,
+                                interpret=True)
+    got = np.array(fn(jnp.array(it[:3]), jnp.array(ot[:3]),
+                      jnp.array(il), jnp.array(il)))
+    m64 = tuple(np.asarray(x, np.float64) for x in mats)
+    want = forward_2d_f64(*m64, it[2][:99], ot[2][:99])
+    assert want < -87        # the scenario must actually cross the line
+    assert got[2] > -1e29
+    assert abs(got[2] - want) < 5e-3, (want, got[2])

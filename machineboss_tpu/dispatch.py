@@ -316,26 +316,40 @@ class CompiledMachine:
             engine = "pallas" if jax.default_backend() not in (
                 "cpu",) else "wavefront"
         if engine == "pallas":
-            pkey = ("pallas", B, Li, Lo)
+            from .ops.pallas.wavefront_kernel import (
+                make_wavefront_forward, ragged_span)
+            from .ops.pallas.lowrank_kernel import lowrank_cost_ratio
+            ht = tuple(np.array(x) for x in (a_diag, a_left, a_up,
+                                             closure))
+            if "lowrank_ratio" not in self._cache:
+                self._cache["lowrank_ratio"] = lowrank_cost_ratio(*ht)[0]
+            # structured machines (profile HMMs, GeneWise, PSWs) route
+            # to the closure-folded min-rank kernel (measured 1.8x the
+            # factored kernel on prot2dna, PERF.md); full-rank machines
+            # use the class-specialized merged kernel family: the RAGGED
+            # CHAINED variant when the batch is ragged and chainable
+            # (7.70 G vs merged's 5.80 G on the ragged dense grid,
+    # PERF.md), plain merged otherwise. merged=True because the
+            # generic variant is known to miscompile on the 2026-08 TPU
+            # runtime at L >= 200.
+            variant = "lowrank" \
+                if self._cache["lowrank_ratio"] < 0.6 else None
+            chain = None
+            hint = None
+            is_ragged = bool((il != il[0]).any() or (ol != ol[0]).any())
+            if (variant is None and is_ragged and B % 8 == 0
+                    and Li >= 1 and Lo >= 1 and il.min() >= 1
+                    and ol.min() >= 1):
+                variant = "chained_ragged"
+                chain = 8
+                # bucket the span so the kernel cache survives small
+                # length-profile changes
+                hint = -(-ragged_span(il, ol, chain) // 64) * 64
+            pkey = ("pallas", B, Li, Lo, variant, chain, hint)
             if pkey not in self._cache:
-                from .ops.pallas.wavefront_kernel import \
-                    make_wavefront_forward
-                from .ops.pallas.lowrank_kernel import lowrank_cost_ratio
-                ht = tuple(np.array(x) for x in (a_diag, a_left, a_up,
-                                                 closure))
-                if "lowrank_ratio" not in self._cache:
-                    self._cache["lowrank_ratio"] = \
-                        lowrank_cost_ratio(*ht)[0]
-                # structured machines (profile HMMs, GeneWise, PSWs) route
-                # to the closure-folded min-rank kernel (measured 1.8x the
-                # factored kernel on prot2dna, PERF.md); full-rank machines
-                # stay on the class-specialized merged kernel. merged=True
-                # because the generic variant is known to miscompile on
-                # the 2026-08 TPU runtime at L>=200.
-                variant = "lowrank" \
-                    if self._cache["lowrank_ratio"] < 0.6 else None
                 self._cache[pkey] = make_wavefront_forward(
-                    *ht, B, Li, Lo, merged=True, variant=variant)
+                    *ht, B, Li, Lo, merged=True, variant=variant,
+                    chain=chain, n_abs_hint=hint)
             fn = self._cache[pkey]
         else:
             from .ops.wavefront_fast import forward_2d_wavefront_fast

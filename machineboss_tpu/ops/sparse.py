@@ -407,3 +407,69 @@ def forward_2d_sparse_pswm(sm: SparseMachine, in_pswm, out_pswm,
         return row[Li, S - 1]
 
     return float(run())
+
+
+def backward_2d_sparse_pswm(sm: SparseMachine, in_pswm, out_pswm,
+                            viterbi=False):
+    """Sparse 2D Backward with PSWM profiles on both tapes (reverse
+    traversal; total equals forward_2d_sparse_pswm) — the last cell of
+    the reference's {TOK, PSWM} x {1D, 2D} x {DENSE, SPARSE} variant
+    grid (ref python/machineboss/jax/API.md:6-29). Mirrors
+    backward_2d_sparse with the PSWM mixes of forward_2d_sparse_pswm:
+    up/left mixes include the position's eps skip, diag does not."""
+    S = sm.n_states
+    in_pswm = jnp.asarray(in_pswm)
+    out_pswm = jnp.asarray(out_pswm)
+    Li = int(in_pswm.shape[0])
+    Lo = int(out_pswm.shape[0])
+    Ti = int(in_pswm.shape[1]) - 1 if Li else 0
+    To = int(out_pswm.shape[1]) - 1 if Lo else 0
+    rev = SparseMachineRev(sm)
+    comb = _combine(viterbi)
+
+    @jax.jit
+    def run():
+        neg = jnp.full((S,), NEG_INF, jnp.float32)
+
+        def make_row(next_row, o_row):
+            # next_row is the o+1 backward row (None for the last row)
+            cells = [None] * (Li + 1)
+            for i in range(Li, -1, -1):
+                c = neg
+                if next_row is None and i == Li:
+                    c = c.at[S - 1].set(0.0)
+                if next_row is not None:
+                    # up: output mix incl. the output position's eps skip
+                    up = next_row[i] + o_row[0]
+                    for t in range(1, To + 1):
+                        if (0, t) in sm.classes:
+                            up = comb(up, rev.class_contrib(
+                                next_row[i], (0, t), viterbi) + o_row[t])
+                    c = comb(c, up)
+                    if i < Li:
+                        # diag: both tokens consumed (no eps)
+                        for ti in range(1, Ti + 1):
+                            for to in range(1, To + 1):
+                                if (ti, to) in sm.classes:
+                                    c = comb(c, rev.class_contrib(
+                                        next_row[i + 1], (ti, to), viterbi)
+                                        + in_pswm[i, ti] + o_row[to])
+                if i < Li:
+                    # left: input mix incl. the input position's eps skip
+                    lf = cells[i + 1] + in_pswm[i, 0]
+                    for t in range(1, Ti + 1):
+                        if (t, 0) in sm.classes:
+                            lf = comb(lf, rev.class_contrib(
+                                cells[i + 1], (t, 0), viterbi)
+                                + in_pswm[i, t])
+                    c = comb(c, lf)
+                c = rev.apply_silent(c, viterbi)
+                cells[i] = c
+            return jnp.stack(cells)
+
+        row = make_row(None, None)
+        for o in range(Lo, 0, -1):
+            row = make_row(row, out_pswm[o - 1])
+        return row[0, 0]
+
+    return float(run())

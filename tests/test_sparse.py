@@ -96,7 +96,7 @@ def test_sparse_pswm_invariants():
     from machineboss_tpu.ops.sparse import (
         SparseMachine, forward_1d_sparse, forward_2d_sparse,
         forward_1d_sparse_pswm, backward_1d_sparse_pswm,
-        forward_2d_sparse_pswm)
+        forward_2d_sparse_pswm, backward_2d_sparse_pswm)
     from machineboss_tpu.ops.pswm import forward_2d_pswm, pswm_from_tokens
     from machineboss_tpu.ops.lowering import LoweredMachine
 
@@ -135,6 +135,15 @@ def test_sparse_pswm_invariants():
     dense = float(forward_2d_pswm(ad, al, au, cl, in_p, out_p,
                                   in_p.shape[0], out_p.shape[0]))
     assert abs(f2 - dense) < 1e-3, (f2, dense)
+
+    # (2b) 2D backward == 2D forward on the same random profiles — the
+    # last cell of the reference variant grid (backward_2d_sparse_pswm)
+    b2 = backward_2d_sparse_pswm(sm, in_p, out_p)
+    assert abs(b2 - f2) < 1e-3, (b2, f2)
+    b2_oh = backward_2d_sparse_pswm(sm, in_oh, out_oh)
+    assert abs(b2_oh - tok2d) < 1e-4, (b2_oh, tok2d)
+    bv = backward_2d_sparse_pswm(sm, in_p, out_p, viterbi=True)
+    assert bv <= f2 + 1e-5
 
     # (3) viterbi <= forward
     v2 = forward_2d_sparse_pswm(sm, in_p, out_p, viterbi=True)

@@ -43,11 +43,16 @@ class DPMatrix:
             raise ValueError("Envelope/sequence mismatch")
         if not self.env.connected():
             raise ValueError("Envelope is not connected")
-        self.cell = np.full((self.in_len + 1, self.out_len + 1, self.n_states),
-                            NEG_INF)
+        self.cell = self._alloc_lattice()
         self._mask = np.zeros((self.in_len + 1, self.out_len + 1), dtype=bool)
         for o in range(self.out_len + 1):
             self._mask[self.env.in_start[o]:self.env.in_end[o], o] = True
+
+    def _alloc_lattice(self):
+        """Dense (in_len+1, out_len+1, S) storage; subclasses that serve
+        get() from sparse records override this to skip the allocation."""
+        return np.full((self.in_len + 1, self.out_len + 1, self.n_states),
+                       NEG_INF)
 
     def get(self, i, o, s):
         if 0 <= o <= self.out_len and self.env.contains(i, o):

@@ -377,6 +377,11 @@ class FusedViterbiAligner:
                 raise RuntimeError("traceback failed to terminate")
             best = None
             for e in self._sil_in.get(p, ()):
+                if e[0] == p:
+                    # a weight-0 silent self-loop ties the cell value and
+                    # would be re-selected forever; a self-loop with
+                    # log-weight <= 0 can never be on an optimal simple path
+                    continue
                 cand = V[r][e[0]] + e[2]
                 if best is None or cand > best[0]:
                     best = (cand, e, r)

@@ -57,9 +57,87 @@ class DeviceViterbiMatrix(DPMatrix):
         return self.traceback(machine)
 
 
+class _MissingCell(Exception):
+    pass
+
+
+def _cached(ev, attr, key, build):
+    """Per-EvaluatedMachine cache for walkers/premats: a CLI run (or a
+    caller looping over read batches) reuses one EvaluatedMachine, so
+    host matrix prep and walker jit-compiles happen once per machine."""
+    store = ev.__dict__.setdefault(attr, {})
+    if key not in store:
+        store[key] = build()
+    return store[key]
+
+
+def _walker_for(ev, li, lo):
+    from .traceback_device import make_lattice_walker
+    return _cached(ev, "_tb_walkers", (li, lo),
+                   lambda: make_lattice_walker(ev, li, lo))
+
+
+class SparseDeviceViterbiMatrix(DPMatrix):
+    """Lattice-free device Viterbi matrix.
+
+    The device walks the lattice at cell granularity
+    (algo/traceback_device.make_lattice_walker) and ships only the path
+    cells' 4-neighborhood value vectors; get() serves those sparse values
+    to the EXACT host traceback (same per-edge option order, f64
+    arithmetic). Any query outside the emitted set — an exact tie broken
+    differently by the f32 device argmax — triggers the full-lattice
+    readback fallback, so output never depends on the device walk."""
+
+    def __init__(self, ev, seq_pair, cells, walk_ok, fallback):
+        super().__init__(ev, seq_pair)
+        self._cells = cells or {}
+        self._walk_ok = bool(walk_ok) and bool(self._cells)
+        self._fallback = fallback
+        self._full = None
+
+    def _alloc_lattice(self):
+        return None                      # get() never touches self.cell
+
+    def _materialize(self):
+        if self._full is None:
+            self._full = self._fallback()
+        return self._full
+
+    def get(self, i, o, s):
+        if self._full is not None:
+            return self._full.get(i, o, s)
+        if not (0 <= o <= self.out_len and self.env.contains(i, o)):
+            return NEG_INF
+        v = self._cells.get((i, o))
+        if v is None:
+            raise _MissingCell((i, o))
+        return v[s]
+
+    def log_like(self):
+        # the final-cell record is valid even when the walk got stuck
+        # (it is emitted before the first move), so a no-path pair's
+        # -inf log-like never forces the full readback
+        if self._full is None:
+            v = self._cells.get((self.in_len, self.out_len))
+            if v is not None:
+                return float(v[self.n_states - 1])
+        return self._materialize().log_like()
+
+    def traceback(self, machine, *args, **kwargs):
+        if self._full is not None or not self._walk_ok:
+            return self._materialize().traceback(machine, *args, **kwargs)
+        try:
+            return super().traceback(machine, *args, **kwargs)
+        except _MissingCell:
+            return self._materialize().traceback(machine, *args, **kwargs)
+
+    def path(self, machine):
+        return self.traceback(machine)
+
+
 def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
                             engine="auto", interpret=False,
-                            envelopes=None):
+                            envelopes=None, sparse_traceback=True):
     """Batched device Viterbi fill for a list of tokenizable SeqPairs.
 
     ONE batched MAXPLUS wavefront call (padded to the max lengths) fills
@@ -92,8 +170,13 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
             not _is_full(e, len(sp.input.seq), len(sp.output.seq))
             for e, sp in zip(envelopes, seq_pairs)):
         from ..ops.pallas.viterbi_kernel import (
-            make_wavefront_viterbi_banded, envelope_diag_bands)
+            make_wavefront_viterbi_banded, envelope_diag_bands,
+            maxplus_class_mats)
+        from .traceback_device import (run_walker,
+                                       sparse_cells_from_records)
         host_mats = tuple(np.asarray(x) for x in lm.matrices_2d("maxplus"))
+        premats = _cached(ev, "_vit_premats", None,
+                          lambda: maxplus_class_mats(*host_mats))
         interp = interpret or jax.default_backend() in ("cpu",)
         out = []
         for env, sp in zip(envelopes, seq_pairs):
@@ -101,12 +184,30 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
                            np.int32) - 1
             ot0 = np.array(ev.output_tokenizer.tokenize(sp.output.seq),
                            np.int32) - 1
+            li, lo = len(it0), len(ot0)
             lo_d, hi_d = envelope_diag_bands(env)
             fill = make_wavefront_viterbi_banded(
-                *host_mats, len(it0), len(ot0), lo_d, hi_d,
-                interpret=interp)
-            out.append(DeviceViterbiMatrix(
-                ev, sp, fill_fn=lambda i0, o0, f=fill: f(i0, o0)))
+                *host_mats, li, lo, lo_d, hi_d, interpret=interp,
+                premats=premats)
+            if not sparse_traceback:
+                out.append(DeviceViterbiMatrix(
+                    ev, sp, fill_fn=lambda i0, o0, f=fill: f(i0, o0)))
+                continue
+            # band lattice stays ON DEVICE; only the path neighborhood
+            # comes back (full readback only as a tie-divergence fallback)
+            lat_dev = fill.fill_raw(it0, ot0)
+            walker = _walker_for(ev, li, lo)
+            import jax.numpy as jnp
+            n, ij, vals, okf = run_walker(
+                walker, jnp.transpose(lat_dev, (0, 2, 1)), fill.bases,
+                it0, ot0, li, lo)
+            cells = sparse_cells_from_records(n, ij, vals)
+
+            def _fb(lat_dev=lat_dev, fill=fill, sp=sp):
+                full = fill.scatter(np.asarray(lat_dev))
+                return DeviceViterbiMatrix(
+                    ev, sp, fill_fn=lambda i0, o0, f=full: f)
+            out.append(SparseDeviceViterbiMatrix(ev, sp, cells, okf, _fb))
         return out
     tok_in = [np.array(ev.input_tokenizer.tokenize(sp.input.seq),
                        np.int32) - 1 for sp in seq_pairs]
@@ -133,11 +234,35 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
         mats = tuple(jnp.array(x) for x in host_mats)
         diags = wavefront_2d_diagonals(*mats, jnp.array(it), jnp.array(ot),
                                        sr=MAXPLUS)
-    lat = lattice_from_diagonals(diags, Li, Lo)       # (B, Li+1, Lo+1, S)
+    if not sparse_traceback:
+        lat = lattice_from_diagonals(diags, Li, Lo)   # (B, Li+1, Lo+1, S)
+        return [DeviceViterbiMatrix(
+            ev, sp, fill_fn=lambda i0, o0, b=b, li=len(tok_in[b]),
+            lo=len(tok_out[b]): lat[b, :li + 1, :lo + 1, :])
+            for b, sp in enumerate(seq_pairs)]
+    # keep the diagonal slabs ON DEVICE; per pair, one device walk ships
+    # just the path neighborhood (the full batched lattice is only read
+    # back if some pair's host traceback diverges from the device walk)
+    from .traceback_device import run_walker, sparse_cells_from_records
+    walker = _walker_for(ev, Li, Lo)
+    lat_cache = []
+
+    def _full_lat():
+        if not lat_cache:
+            lat_cache.append(lattice_from_diagonals(diags, Li, Lo))
+        return lat_cache[0]
+
+    zeros = np.zeros(Li + Lo + 1, np.int32)
     out = []
     for b, sp in enumerate(seq_pairs):
         li, lo = len(tok_in[b]), len(tok_out[b])
-        out.append(DeviceViterbiMatrix(
-            ev, sp, fill_fn=lambda i0, o0, b=b, li=li, lo=lo:
-            lat[b, :li + 1, :lo + 1, :]))
+        n, ij, vals, okf = run_walker(walker, diags[:, b], zeros,
+                                      tok_in[b], tok_out[b], li, lo)
+        cells = sparse_cells_from_records(n, ij, vals)
+
+        def _fb(b=b, li=li, lo=lo, sp=sp):
+            return DeviceViterbiMatrix(
+                ev, sp, fill_fn=lambda i0, o0:
+                _full_lat()[b, :li + 1, :lo + 1, :])
+        out.append(SparseDeviceViterbiMatrix(ev, sp, cells, okf, _fb))
     return out

@@ -176,10 +176,17 @@ class CompiledMachine:
         bound kernel recompilation. Bucketing only engages for batches
         of >= 64 pairs — below that the extra per-group invocation
         floor outweighs any padding saved, so `bucket=True` is a no-op
-        (PERF.md records the measurement behind the threshold)."""
+        (PERF.md records the measurement behind the threshold).
+
+        One-empty-side (1D) machines route to the dedicated 1D scan
+        path, which pads every sequence to the batch max L (no
+        bucketing); an explicit engine='wavefront' override is honored
+        and keeps such machines on the generic 2D wavefront instead."""
         if not self.is_dense:
             return np.array([self.log_forward(i, o) for i, o in pairs])
         one_d = self.machine.input_empty() != self.machine.output_empty()
+        if one_d and engine == "wavefront":
+            one_d = False          # honor the explicit 2D-engine request
         if one_d:
             # exactly one empty side: route to the VMEM-resident Pallas
             # 1D scan kernel (4.99 G cells/s at S=64 L=10000 — PERF.md);

@@ -148,8 +148,48 @@ def _viterbi_kernel(Ti, To, S, B, W, Li, Lo, n_chunks, classes,
         body(slabA, slabB, slabB)
 
 
+def maxplus_class_mats(a_diag, a_left, a_up, closure):
+    """Closure-folded, transposed class matrices shared by the full and
+    banded MAXPLUS kernels (the host-side _mp_mat folds here are ~2 s at
+    S=64 — build once per machine and pass as `premats`):
+      MU[(ty, s'), s]      = (A_up[ty] (x)mp C)[s, s']
+      MD[(ty, s'), (ti,s)] = (A_diag[ti,ty] (x)mp C)[s, s']
+      ML[(ti, s'), s]      = (A_left[ti] (x)mp C)[s, s']
+    Returns (mu, md, ml, c0_row, classes)."""
+    Ti, To, S, _ = a_diag.shape
+
+    def lg(a):
+        return np.maximum(np.asarray(a, np.float64), NEG_INF)
+
+    dg, lf, up, cl = lg(a_diag), lg(a_left), lg(a_up), lg(closure)
+    has_up = bool((up > NEG_INF / 2).any())
+    has_left = bool((lf > NEG_INF / 2).any())
+    has_diag = bool((dg > NEG_INF / 2).any())
+    if not (has_up or has_left or has_diag):
+        has_diag = True
+    classes = (has_up, has_left, has_diag)
+
+    def clamp32(m):
+        return np.maximum(m, NEG_INF).astype(np.float32)
+
+    mu = np.concatenate([_mp_mat(up[t], cl).T for t in range(To)], axis=0) \
+        if has_up else np.full((8, 128), NEG_INF)
+    md = np.full((To * S, Ti * S), NEG_INF)
+    if has_diag:
+        for ty in range(To):
+            for ti in range(Ti):
+                md[ty * S:(ty + 1) * S, ti * S:(ti + 1) * S] = \
+                    _mp_mat(dg[ti, ty], cl).T
+    else:
+        md = np.full((8, 128), NEG_INF)
+    ml = np.concatenate([_mp_mat(lf[t], cl).T for t in range(Ti)], axis=0) \
+        if has_left else np.full((8, 128), NEG_INF)
+    c0_row = clamp32(cl[0:1, :].T)                       # (S, 1)
+    return clamp32(mu), clamp32(md), clamp32(ml), c0_row, classes
+
+
 def make_wavefront_viterbi(a_diag, a_left, a_up, closure, B, Li, Lo,
-                           n_chunks=None, interpret=False):
+                           n_chunks=None, interpret=False, premats=None):
     """Build the Pallas MAXPLUS wavefront for fixed machine tensors/shapes.
 
     Tensors are LOG-space max-plus matrices: a_diag (Ti, To, S, S), a_left
@@ -182,38 +222,9 @@ def make_wavefront_viterbi(a_diag, a_left, a_up, closure, B, Li, Lo,
     assert chunk0 * n_chunks == cells and chunk0 % 128 == 0 \
         and chunk0 % W == 0
 
-    def lg(a):
-        return np.maximum(np.asarray(a, np.float64), NEG_INF)
-
-    dg, lf, up, cl = lg(a_diag), lg(a_left), lg(a_up), lg(closure)
-    has_up = bool((up > NEG_INF / 2).any())
-    has_left = bool((lf > NEG_INF / 2).any())
-    has_diag = bool((dg > NEG_INF / 2).any())
-    if not (has_up or has_left or has_diag):
-        has_diag = True
-    classes = (has_up, has_left, has_diag)
-
-    # closure-folded, transposed class matrices:
-    #   MU[(ty, s'), s]      = (A_up[ty] (x)mp C)[s, s']
-    #   MD[(ty, s'), (ti,s)] = (A_diag[ti,ty] (x)mp C)[s, s']
-    #   ML[(ti, s'), s]      = (A_left[ti] (x)mp C)[s, s']
-    def clamp32(m):
-        return np.maximum(m, NEG_INF).astype(np.float32)
-
-    mu = np.concatenate([_mp_mat(up[t], cl).T for t in range(To)], axis=0) \
-        if has_up else np.full((8, 128), NEG_INF)
-    md = np.full((To * S, Ti * S), NEG_INF)
-    if has_diag:
-        for ty in range(To):
-            for ti in range(Ti):
-                md[ty * S:(ty + 1) * S, ti * S:(ti + 1) * S] = \
-                    _mp_mat(dg[ti, ty], cl).T
-    else:
-        md = np.full((8, 128), NEG_INF)
-    ml = np.concatenate([_mp_mat(lf[t], cl).T for t in range(Ti)], axis=0) \
-        if has_left else np.full((8, 128), NEG_INF)
-    mu, md, ml = clamp32(mu), clamp32(md), clamp32(ml)
-    c0 = clamp32(cl[0:1, :].T)                           # (S, 1)
+    mu, md, ml, c0, classes = premats if premats is not None else \
+        maxplus_class_mats(a_diag, a_left, a_up, closure)
+    has_up, has_left, has_diag = classes
 
     i_cell = np.tile(np.arange(W, dtype=np.int32), B)[None, :]
     n_diags = Li + Lo + 1
@@ -443,7 +454,7 @@ def band_windows(lo, hi, pad=128):
 
 
 def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
-                                  lo, hi, interpret=False):
+                                  lo, hi, interpret=False, premats=None):
     """Envelope-banded Pallas MAXPLUS wavefront for ONE sequence pair.
 
     lo/hi: per-diagonal [lo_d, hi_d) bands of cell index i (from
@@ -471,34 +482,10 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
     meta[:n_diags, 3] = s1
     meta[:n_diags, 4] = s2
 
-    def lg(a):
-        return np.maximum(np.asarray(a, np.float64), NEG_INF)
-
-    dg, lf, up, cl = lg(a_diag), lg(a_left), lg(a_up), lg(closure)
-    has_up = bool((up > NEG_INF / 2).any())
-    has_left = bool((lf > NEG_INF / 2).any())
-    has_diag = bool((dg > NEG_INF / 2).any())
-    if not (has_up or has_left or has_diag):
-        has_diag = True
-    classes = (has_up, has_left, has_diag)
-
-    def clamp32(m):
-        return np.maximum(m, NEG_INF).astype(np.float32)
-
-    mu = np.concatenate([_mp_mat(up[t], cl).T for t in range(To)], axis=0) \
-        if has_up else np.full((8, 128), NEG_INF)
-    md = np.full((To * S, Ti * S), NEG_INF)
-    if has_diag:
-        for ty in range(To):
-            for ti in range(Ti):
-                md[ty * S:(ty + 1) * S, ti * S:(ti + 1) * S] = \
-                    _mp_mat(dg[ti, ty], cl).T
-    else:
-        md = np.full((8, 128), NEG_INF)
-    ml = np.concatenate([_mp_mat(lf[t], cl).T for t in range(Ti)], axis=0) \
-        if has_left else np.full((8, 128), NEG_INF)
-    mu, md, ml = clamp32(mu), clamp32(md), clamp32(ml)
-    c0 = clamp32(np.broadcast_to(cl[0:1, :].T, (S, Wb)))
+    mu, md, ml, c0_row, classes = premats if premats is not None else \
+        maxplus_class_mats(a_diag, a_left, a_up, closure)
+    has_up, has_left, has_diag = classes
+    c0 = np.ascontiguousarray(np.broadcast_to(c0_row, (S, Wb)))
 
     kernel = functools.partial(_viterbi_banded_kernel, Ti, To, S, Wb,
                                n_diags, classes)
@@ -545,7 +532,9 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
     mu_j, md_j, ml_j = jnp.array(mu), jnp.array(md), jnp.array(ml)
     c0_j, meta_j = jnp.array(c0), jnp.array(meta)
 
-    def viterbi(in_toks, out_toks):
+    def fill_raw(in_toks, out_toks):
+        """Device band lattice (n_diags, S, Wb) — stays on device, for
+        the on-device traceback walk (algo/traceback_device)."""
         in_toks = np.asarray(in_toks, np.int64)
         out_toks = np.asarray(out_toks, np.int64)
         # per-diagonal window one-hots: x token at cell i is
@@ -562,14 +551,23 @@ def make_wavefront_viterbi_banded(a_diag, a_left, a_up, closure, Li, Lo,
             yt = out_toks[np.clip(o_g - 1, 0, Lo - 1)]
             dd, ww = np.nonzero(ym)
             yoh[dd, yt[dd, ww], ww] = 1.0
-        lat = np.asarray(call(mu_j, md_j, ml_j, c0_j, meta_j,
-                              jnp.array(xoh), jnp.array(yoh)))
-        # scatter windows back into the full (Li+1, Lo+1, S) lattice
+        return call(mu_j, md_j, ml_j, c0_j, meta_j,
+                    jnp.array(xoh), jnp.array(yoh))
+
+    def scatter(lat):
+        """Host (n_diags, S, Wb) windows -> full (Li+1, Lo+1, S)."""
         full = np.full((Li + 1, Lo + 1, S), NEG_INF, np.float64)
         dd, ww = np.nonzero(in_band & (i_g <= Li))
         full[i_g[dd, ww], o_g[dd, ww]] = lat[dd, :, ww]
         return full
 
+    def viterbi(in_toks, out_toks):
+        return scatter(np.asarray(fill_raw(in_toks, out_toks)))
+
+    viterbi.fill_raw = fill_raw
+    viterbi.scatter = scatter
+    viterbi.bases = bases
+    viterbi.Wb = Wb
     return viterbi
 
 
@@ -581,11 +579,26 @@ def envelope_diag_bands(env):
     n_diags = Li + Lo + 1
     lo = np.full(n_diags, 10**9, np.int64)
     hi = np.full(n_diags, -10**9, np.int64)
+    cnt = np.zeros(n_diags, np.int64)
     for o in range(Lo + 1):
         for i in range(env.in_start[o], env.in_end[o]):
             d = i + o
             lo[d] = min(lo[d], i)
             hi[d] = max(hi[d], i + 1)
+            cnt[d] += 1
+    # The banded kernel fills the bounding interval [lo, hi) of each
+    # diagonal; a non-contiguous cross-section (possible only for
+    # hand-built envelopes, never for the CLI's guide-path +- width
+    # bands) would silently admit out-of-envelope cells and can inflate
+    # the device score vs the host env-restricted ViterbiMatrix.
+    bad = (hi > lo) & (cnt != hi - lo)
+    if bad.any():
+        d = int(np.nonzero(bad)[0][0])
+        raise ValueError(
+            "envelope_diag_bands: diagonal %d cross-section is not "
+            "contiguous (%d cells in [%d, %d)); the banded device kernel "
+            "only supports per-diagonal interval envelopes — use the host "
+            "engine for this envelope" % (d, cnt[d], lo[d], hi[d]))
     lo = np.where(hi > lo, lo, 0)
     hi = np.where(hi > lo, hi, 1)
     return lo, hi

@@ -123,6 +123,11 @@ def main():
                 prev = json.load(f)
             if "backends" in prev:
                 doc = prev
+            elif "backend" in prev:
+                # migrate a legacy single-backend table instead of
+                # dropping its measurements
+                doc["backends"][prev["backend"]] = {
+                    k: v for k, v in prev.items() if k != "backend"}
         except Exception:
             pass
     doc["backends"][backend] = table

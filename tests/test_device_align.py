@@ -134,3 +134,76 @@ def test_cli_banded_device_align():
     assert s1 in (0, None) and s2 in (0, None)
     assert host_out == dev_out
     assert '"alignment"' in host_out
+
+
+def test_sparse_device_traceback_avoids_readback():
+    """The device walk must serve the whole traceback from the sparse
+    path-neighborhood records — no full-lattice materialization — and
+    reproduce the host alignment exactly (banded AND full-lattice)."""
+    from machineboss_tpu.core.seqpair import Envelope
+    from machineboss_tpu.algo.viterbi_device import (
+        device_viterbi_matrices, SparseDeviceViterbiMatrix)
+    from bench import build_random_transducer
+
+    m = build_random_transducer(6, list("ACGT"), seed=2)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    rng = np.random.RandomState(7)
+    Li = Lo = 24
+    xs = [("ACGT")[c] for c in rng.randint(0, 4, Li)]
+    ys = [("ACGT")[c] for c in rng.randint(0, 4, Lo)]
+    align = [(a, b) for a, b in zip(xs, ys)]
+    spa = SeqPair(NamedSeq("x", xs), NamedSeq("y", ys), align)
+
+    host = ViterbiMatrix(ev, spa)
+    hp = host.traceback(m)
+
+    # full-lattice batched path
+    dev = device_viterbi_matrices(ev, [spa], interpret=True)[0]
+    assert isinstance(dev, SparseDeviceViterbiMatrix)
+    assert abs(dev.log_like() - host.log_like()) < 1e-4
+    dp = dev.traceback(m)
+    assert dev._full is None, "sparse traceback fell back to full readback"
+    assert [(t.in_, t.out, t.dest) for t in hp.trans] == \
+        [(t.in_, t.out, t.dest) for t in dp.trans]
+
+    # banded path
+    env = Envelope(spa, width=4)
+    hostb = ViterbiMatrix(ev, spa, env=env)
+    devb = device_viterbi_matrices(ev, [spa], envelopes=[env],
+                                   interpret=True)[0]
+    assert isinstance(devb, SparseDeviceViterbiMatrix)
+    dpb = devb.traceback(m)
+    assert devb._full is None, "banded sparse traceback fell back"
+    hpb = hostb.traceback(m)
+    assert [(t.in_, t.out, t.dest) for t in hpb.trans] == \
+        [(t.in_, t.out, t.dest) for t in dpb.trans]
+
+
+def test_sparse_device_traceback_fallback_is_safe():
+    """If the sparse record set is damaged (simulating a device/host tie
+    divergence), the traceback must transparently fall back to the full
+    lattice and still produce the host alignment."""
+    from machineboss_tpu.algo.viterbi_device import (
+        device_viterbi_matrices, SparseDeviceViterbiMatrix)
+    from bench import build_random_transducer
+
+    m = build_random_transducer(6, list("ACGT"), seed=2)
+    ev = EvaluatedMachine(m, m.get_param_defs(True))
+    rng = np.random.RandomState(9)
+    xs = [("ACGT")[c] for c in rng.randint(0, 4, 12)]
+    ys = [("ACGT")[c] for c in rng.randint(0, 4, 12)]
+    spa = SeqPair(NamedSeq("x", xs), NamedSeq("y", ys),
+                  [(a, b) for a, b in zip(xs, ys)])
+    dev = device_viterbi_matrices(ev, [spa], interpret=True)[0]
+    assert isinstance(dev, SparseDeviceViterbiMatrix)
+    # drop half the records: the walk is now incomplete mid-path
+    keys = sorted(dev._cells)
+    for k in keys[: len(keys) // 2]:
+        if k != (12, 12):
+            del dev._cells[k]
+    host = ViterbiMatrix(ev, spa)
+    hp = host.traceback(m)
+    dp = dev.traceback(m)
+    assert dev._full is not None, "expected the fallback to trigger"
+    assert [(t.in_, t.out, t.dest) for t in hp.trans] == \
+        [(t.in_, t.out, t.dest) for t in dp.trans]

@@ -18,12 +18,18 @@ MIN_EM_IMPROVEMENT = 0.001
 
 class MachineFitter:
     def __init__(self, machine=None, constraints=None, seed=None,
-                 constants=None, engine="host", checkpoint_path=None):
+                 constants=None, engine="host", checkpoint_path=None,
+                 mesh=None):
         self.machine = machine
         self.constraints = constraints if constraints is not None else Constraints()
         self.seed = seed if seed is not None else Params()
         self.constants = constants if constants is not None else Params()
         self.engine = engine
+        # engine='device' + mesh: the E-step runs data-parallel over the
+        # mesh's 'data' axis (parallel/em.sharded_counts_fn); the full EM
+        # loop is then sharded end-to-end (M-step counts are psum-reduced
+        # and replicated, so every chip optimizes identical objectives)
+        self.mesh = mesh
         # EM checkpoint/resume: params + iteration + loglike are written
         # every iteration and restored on restart (the reference's de-facto
         # checkpoint is re-seeding from an emitted params JSON; this makes
@@ -95,6 +101,6 @@ class MachineFitter:
         if self.engine == "device":
             from ..parallel.em import device_counts
             return device_counts(self.machine, all_params, training_set,
-                                 envelopes)
+                                 envelopes, mesh=self.mesh)
         ev = EvaluatedMachine(self.machine, all_params)
         return MachineCounts(ev, training_set, envelopes)

@@ -38,6 +38,11 @@ SUM_SILENT_CYCLES = 2
 # the hot graph ops for large machines. MB_NATIVE=1 forces it everywhere,
 # MB_NATIVE=0 disables it; default uses it above these size thresholds.
 NATIVE_COMPOSE_MIN_PRODUCT = 20000
+
+# advancing_machine switches from the reference's recursive silent fold to
+# the SCC-aware Kleene closure above this silent-SCC size (the fold is
+# super-polynomial in the SCC span; see eliminate_silent_cycles)
+SILENT_SCC_FOLD_LIMIT = 8
 NATIVE_TRANSFORM_MIN_STATES = 2000
 
 
@@ -618,7 +623,16 @@ class Machine:
                 collapse_degenerate=True, cycle_strategy=SUM_SILENT_CYCLES):
         """first's output feeds second's input (ref: src/machine.cpp:794)."""
         native = _native_lib()
+        # the composed machine's silent SCCs are bounded by the product of
+        # the inputs' largest silent SCCs (a composed silent cycle projects
+        # to a silent cycle in at least one operand); above the fold limit
+        # Python switches to the SCC-Kleene closure (eliminate_silent_
+        # cycles), which the native core does not implement — keep such
+        # machines on the Python path so native stays byte-identical
+        scc_bound = (max(first.max_silent_scc_size(), 1)
+                     * max(orig_second.max_silent_scc_size(), 1))
         if (native is not None and assign_state_names and collapse_degenerate
+                and scc_bound <= SILENT_SCC_FOLD_LIMIT
                 and (_native_mode() == "force"
                      or first.n_states() * orig_second.n_states()
                      >= NATIVE_COMPOSE_MIN_PRODUCT)):
@@ -634,6 +648,18 @@ class Machine:
         assign_state_names = (assign_state_names
                               and not first.state_names_all_null()
                               and not second.state_names_all_null())
+
+        # second's transitions grouped by input symbol, in list order (the
+        # emit order below is unchanged — this only replaces the O(|trans|)
+        # scan per first-transition with a dict hit; a dense waiting
+        # machine like a substitution transducer has |alphabet|^2 + 2
+        # |alphabet| transitions per state and the scan dominated compose)
+        sec_by_in = []
+        for j in range(j_states):
+            by_in = {}
+            for jt in second.states[j].trans:
+                by_in.setdefault(jt.in_, []).append(jt)
+            sec_by_in.append(by_in)
 
         # DFS accessibility prefilter over the product space
         keep = [False] * (i_states * j_states)
@@ -653,9 +679,8 @@ class Machine:
                     if it.output_empty():
                         dest.append(it.dest * j_states + j)
                     else:
-                        for jt in msj.trans:
-                            if it.out == jt.in_:
-                                dest.append(it.dest * j_states + jt.dest)
+                        for jt in sec_by_in[j].get(it.out, ()):
+                            dest.append(it.dest * j_states + jt.dest)
             else:
                 for jt in msj.trans:
                     dest.append(i * j_states + jt.dest)
@@ -696,12 +721,11 @@ class Machine:
                         if keep[d]:
                             emit(it.in_, "", comp2kept[d], it.weight)
                     else:
-                        for jt in msj.trans:
-                            if it.out == jt.in_:
-                                d = it.dest * j_states + jt.dest
-                                if keep[d]:
-                                    emit(it.in_, jt.out, comp2kept[d],
-                                         W.multiply(it.weight, jt.weight))
+                        for jt in sec_by_in[j].get(it.out, ()):
+                            d = it.dest * j_states + jt.dest
+                            if keep[d]:
+                                emit(it.in_, jt.out, comp2kept[d],
+                                     W.multiply(it.weight, jt.weight))
             else:
                 for jt in msj.trans:
                     d = i * j_states + jt.dest
@@ -719,7 +743,10 @@ class Machine:
             raise ValueError("Attempt to intersect transducers A&B with"
                              " nonempty output alphabets")
         native = _native_lib()
+        scc_bound = (max(first.max_silent_scc_size(), 1)
+                     * max(orig_second.max_silent_scc_size(), 1))
         if (native is not None
+                and scc_bound <= SILENT_SCC_FOLD_LIMIT
                 and (_native_mode() == "force"
                      or first.n_states() * orig_second.n_states()
                      >= NATIVE_COMPOSE_MIN_PRODUCT)):
@@ -1114,10 +1141,175 @@ class Machine:
             am.states.append(st)
         return am
 
+    def silent_sccs(self):
+        """Strongly-connected components of the silent-transition graph
+        (iterative Tarjan; deterministic component order)."""
+        n = self.n_states()
+        adj = [[] for _ in range(n)]
+        for s in range(n):
+            for t in self.states[s].trans:
+                if t.is_silent():
+                    adj[s].append(t.dest)
+        index = [-1] * n
+        low = [0] * n
+        on_stack = [False] * n
+        stack = []
+        sccs = []
+        counter = [0]
+        for root in range(n):
+            if index[root] != -1:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack[v] = True
+                recurse = False
+                for k in range(pi, len(adj[v])):
+                    w = adj[v][k]
+                    if index[w] == -1:
+                        work[-1] = (v, k + 1)
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if on_stack[w]:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                work.pop()
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(sorted(comp))
+                if work:
+                    u = work[-1][0]
+                    low[u] = min(low[u], low[v])
+        return sccs
+
+    def max_silent_scc_size(self):
+        return max((len(c) for c in self.silent_sccs()), default=0)
+
+    def eliminate_silent_cycles(self):
+        """SCC-aware silent-cycle elimination.
+
+        Tarjan SCCs over the silent-transition graph; within each
+        nontrivial SCC the all-pairs silent-path sum K[i][j] is computed
+        by Lehmann/Kleene elimination in the weight star-semiring
+        (star = W.geometric_sum), and each SCC state's transition list is
+        rewritten to K[i][j] (x) (exits of j) with the intra-SCC silent
+        edges removed — an equivalent machine whose silent graph is
+        acyclic. advancing_machine switches to this when the silent graph
+        has a large SCC: the legacy advancing fold (the reference's
+        recursion, ref src/machine.cpp:1177-1243) is pathological there —
+        a composed multihit Plan7's E->J->B re-entry makes one silent SCC
+        spanning the whole delete chain and the fold takes >10 minutes on
+        fn3.hmm (PERF.md) where this closure takes milliseconds. Both sum
+        silent cycles exactly (SUM_SILENT_CYCLES semantics), so Forward
+        and Viterbi are unchanged."""
+        sccs = [c for c in self.silent_sccs() if len(c) > 1]
+        if not sccs:
+            return self
+        am = Machine()
+        am.import_from(self)
+        am.states = [st.clone() for st in self.states]
+        for comp in sccs:
+            k = len(comp)
+            pos = {s: i for i, s in enumerate(comp)}
+            in_c = set(comp)
+            # A[i][j] = sum of parallel silent edges comp[i] -> comp[j]
+            A = [[W.ZERO] * k for _ in range(k)]
+            for i, s in enumerate(comp):
+                for t in am.states[s].trans:
+                    if t.is_silent() and t.dest in in_c:
+                        j = pos[t.dest]
+                        A[i][j] = W.add(A[i][j], t.weight)
+            # Lehmann elimination: afterwards A[i][j] = sum over all
+            # NONEMPTY silent paths i -> j inside the SCC
+            all_numeric = all(W.is_number(x) for Ai in A for x in Ai)
+            if all_numeric:
+                import numpy as np
+                # the common case (imported HMMs, bound params): run the
+                # k^3 closure vectorized in float64 probability space —
+                # the pure-Python expression fold below is ~1 us/op and
+                # dominated fn3 compose at |SCC| ~ 180
+                An = np.array(A, np.float64)
+                ok_numeric = True
+                for m in range(k):
+                    amm = An[m, m]
+                    if not amm < 1.0:      # divergent silent cycle
+                        ok_numeric = False
+                        break
+                    smm = 1.0 / (1.0 - amm) if amm else 1.0
+                    col = An[:, m] * smm
+                    row = An[m, :].copy()
+                    An += np.outer(col, row)
+                if ok_numeric and np.isfinite(An).all():
+                    A = [[W.double_constant(v) for v in row]
+                         for row in An]
+                else:
+                    all_numeric = False
+            if not all_numeric:
+
+                def star(w):
+                    # numeric geometric sums fold to constants here
+                    # (unlike W.geometric_sum, whose 1/(1-p) tree is kept
+                    # symbolic for the legacy fold's golden-stable
+                    # output): the k^3 closure would otherwise build
+                    # O(k)-deep expression trees
+                    if W.is_number(w) and float(w) < 1.0:
+                        return W.double_constant(1.0 / (1.0 - float(w)))
+                    return W.geometric_sum(w)
+
+                for m in range(k):
+                    smm = W.ONE if W.is_zero(A[m][m]) else star(A[m][m])
+                    col = [W.multiply(A[i][m], smm) for i in range(k)]
+                    row = A[m]
+                    newA = []
+                    for i in range(k):
+                        Ai = A[i]
+                        if W.is_zero(col[i]):
+                            newA.append(Ai)
+                            continue
+                        newA.append([W.add(Ai[j],
+                                           W.multiply(col[i], row[j]))
+                                     for j in range(k)])
+                    A = newA
+            # rewrite: state i's transitions = sum_j K[i][j] (x) exits(j),
+            # K[i][j] = A[i][j] (+ 1 if i == j); intra-SCC silent edges die
+            exits = []
+            for s in comp:
+                exits.append([t for t in am.states[s].trans
+                              if not (t.is_silent() and t.dest in in_c)])
+            for i, s in enumerate(comp):
+                ta = TransAccumulator()
+                for j in range(k):
+                    kij = W.add(A[i][j], W.ONE) if i == j else A[i][j]
+                    if W.is_zero(kij):
+                        continue
+                    for t in exits[j]:
+                        ta.accumulate(t.in_, t.out, t.dest,
+                                      W.multiply(kij, t.weight))
+                am.states[s].trans = ta.transitions()
+        return am
+
     def advancing_machine(self):
         """Eliminate silent back-transitions by path-sum forwarding (ref :1177)."""
         if self.is_advancing_machine():
             return self
+        if self.max_silent_scc_size() > SILENT_SCC_FOLD_LIMIT:
+            # the legacy fold below is pathological on large silent SCCs
+            # (composed multihit Plan7); close the cycles per-SCC instead,
+            # then sort the now-acyclic silent graph forward
+            return (self.eliminate_silent_cycles().advance_sort()
+                    .advancing_machine())
         am = Machine()
         am.import_from(self)
         n = self.n_states()
@@ -1198,9 +1390,10 @@ class Machine:
     def eliminate_silent_transitions(self, cycle_strategy=SUM_SILENT_CYCLES):
         """Remove all silent transitions (ref: src/machine.cpp:1611)."""
         native = _native_lib()
-        if native is not None and (_native_mode() == "force"
-                                   or self.n_states()
-                                   >= NATIVE_TRANSFORM_MIN_STATES):
+        if native is not None and \
+                self.max_silent_scc_size() <= SILENT_SCC_FOLD_LIMIT \
+                and (_native_mode() == "force"
+                     or self.n_states() >= NATIVE_TRANSFORM_MIN_STATES):
             out = native.transform_json(self.to_json_str(),
                                         "eliminate_silent",
                                         cycle_strategy=cycle_strategy)

@@ -43,7 +43,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _scan1d_kernel(n_tok, S, Bp, L, unroll, split,
+def _scan1d_kernel(n_tok, S, Bp, L, unroll, split, renorm_every,
                    em_ref, c0_ref, tok_ref, len_ref,
                    out_ref,
                    p_scr, sc_scr):
@@ -79,15 +79,24 @@ def _scan1d_kernel(n_tok, S, Bp, L, unroll, split,
         keep = ((d < len_ref[0, :]) & (tok >= 0))[None, :]
         p = p_scr[:]
 
-        cur = None
-        for t in range(n_tok):
-            if split >= S:
-                q = jnp.dot(em_ref[t], p,
+        if split >= S:
+            # ONE stacked (n_tok*S, S) @ (S, Bp) matmul instead of n_tok
+            # (S, S) dots: at S=64 a lone (64, 64, B) dot uses a quarter
+            # of the 128x128 MXU tile; the stacked form fills the M dim.
+            # em_ref arrives pre-stacked (n_tok*S, S) from the host.
+            q_all = jnp.dot(em_ref[:], p,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
-            else:
+            cur = None
+            for t in range(n_tok):
+                sel = (tok == t)[None, :].astype(jnp.float32)
+                q = q_all[t * S:(t + 1) * S, :] * sel
+                cur = q if cur is None else cur + q
+        else:
+            cur = None
+            for t in range(n_tok):
                 parts = [
-                    jnp.dot(em_ref[t][:, c:c + split],
+                    jnp.dot(em_ref[t * S:(t + 1) * S, c:c + split],
                             p[c:c + split, :],
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
@@ -97,30 +106,48 @@ def _scan1d_kernel(n_tok, S, Bp, L, unroll, split,
                              if i + 1 < len(parts) else parts[i]
                              for i in range(0, len(parts), 2)]
                 q = parts[0]
-            sel = (tok == t)[None, :].astype(jnp.float32)
-            cur = q * sel if cur is None else cur + q * sel
+                sel = (tok == t)[None, :].astype(jnp.float32)
+                cur = q * sel if cur is None else cur + q * sel
 
-        m = jnp.max(cur, axis=0, keepdims=True)           # (1, Bp)
-        dead = (m <= 0.0).astype(jnp.float32)
-        # EXACT power-of-two renormalization: extract the max's binary
-        # exponent by bit twiddling and scale by 2^-e (exact in fp), so
-        # the loop carries NO transcendentals at all — the per-step
-        # jnp.log of the earlier Kahan-scale design had a deterministic
-        # ~4e-6 nat/step approximation bias at the carry's stationary
-        # point (measured 3.79e-2 at L=10000 on v5e, invariant under
-        # matmul restructuring). The single final log runs in f64 on the
-        # host side of the call.
-        msafe = jnp.where(m > 0.0, m, 1.0)
-        bits = pltpu.bitcast(msafe, jnp.int32)
-        kexp = jnp.bitwise_and(jnp.right_shift(bits, 23), 0xFF)  # biased
-        inv = pltpu.bitcast(jnp.left_shift(254 - kexp, 23), jnp.float32)
-        p_new = cur * inv                                  # exact scaling
-        inc = (kexp - 127).astype(jnp.float32)             # exponent sum
-
-        upd = keep.astype(jnp.float32)
-        p_scr[:] = jnp.where(keep, p_new, p)
-        sc_scr[0:1, :] = sc_scr[0:1, :] + inc * upd
-        sc_scr[2:3, :] = jnp.maximum(sc_scr[2:3, :], dead * upd)
+        # static-in-j renorm schedule (d = g0*unroll + j is traced via
+        # program_id; unroll is a multiple of renorm_every, so
+        # (d+1) % renorm_every == (j+1) % renorm_every is compile-time).
+        # No final-step renorm is needed: the host-side log reads the
+        # unrenormalized mantissa exactly, and a lane that dies in a
+        # trailing partial window is caught by the mant <= 0 check.
+        if (j + 1) % renorm_every == 0:
+            m = jnp.max(cur, axis=0, keepdims=True)       # (1, Bp)
+            dead = (m <= 0.0).astype(jnp.float32)
+            # EXACT power-of-two renormalization: extract the max's
+            # binary exponent by bit twiddling and scale by 2^-e (exact
+            # in fp), so the loop carries NO transcendentals at all —
+            # the per-step jnp.log of the earlier Kahan-scale design had
+            # a deterministic ~4e-6 nat/step approximation bias at the
+            # carry's stationary point (measured 3.79e-2 at L=10000 on
+            # v5e, invariant under matmul restructuring). The single
+            # final log runs in f64 on the host side of the call.
+            # Because the scaling is an exact power of two it commutes
+            # exactly with the linear recurrence, so renormalizing every
+            # `renorm_every` steps (instead of every step) is
+            # numerically IDENTICAL — it only narrows the f32 underflow
+            # headroom to ~(126 - 2*renorm_every... ) bits, i.e. steps
+            # may shrink by up to 2^-(126/renorm_every) each before a
+            # live lane hits zero mid-window. The per-step max-reduce
+            # over S sublanes + bit ops were ~half the step time
+            # (VPU-bound; measured).
+            msafe = jnp.where(m > 0.0, m, 1.0)
+            bits = pltpu.bitcast(msafe, jnp.int32)
+            kexp = jnp.bitwise_and(jnp.right_shift(bits, 23), 0xFF)
+            inv = pltpu.bitcast(jnp.left_shift(254 - kexp, 23),
+                                jnp.float32)
+            p_new = cur * inv                              # exact scaling
+            inc = (kexp - 127).astype(jnp.float32)
+            upd = keep.astype(jnp.float32)
+            p_scr[:] = jnp.where(keep, p_new, p)
+            sc_scr[0:1, :] = sc_scr[0:1, :] + inc * upd
+            sc_scr[2:3, :] = jnp.maximum(sc_scr[2:3, :], dead * upd)
+        else:
+            p_scr[:] = jnp.where(keep, cur, p)
 
     n_steps = pl.num_programs(0)
 
@@ -134,7 +161,7 @@ def _scan1d_kernel(n_tok, S, Bp, L, unroll, split,
 
 
 def make_forward_1d_pallas(trans, closure, B, L, unroll=8, split=None,
-                           interpret=False):
+                           renorm_every=4, interpret=False):
     """Build the VMEM-resident batched 1D Forward for fixed shapes.
 
     trans (n_tok, S, S) log transfer matrices (silent closure folded,
@@ -159,6 +186,7 @@ def make_forward_1d_pallas(trans, closure, B, L, unroll=8, split=None,
     em = np.where(np.isfinite(trans), em, 0.0)
     em_t = np.ascontiguousarray(np.transpose(em, (0, 2, 1))
                                 ).astype(np.float32)       # (n_tok, S', S)
+    em_t = em_t.reshape(n_tok * S, S)        # pre-stacked for the kernel
 
     e0 = np.full(S, NEG_INF)
     e0[0] = 0.0
@@ -174,8 +202,11 @@ def make_forward_1d_pallas(trans, closure, B, L, unroll=8, split=None,
                            # either way at L=10000)
     unroll = max(8, _round_up(unroll, 8))
     n_steps = -(-L // unroll)
+    renorm_every = max(1, int(renorm_every))
+    while unroll % renorm_every:       # schedule must be static in j
+        renorm_every -= 1
     kernel = functools.partial(_scan1d_kernel, n_tok, S, Bp, L, unroll,
-                               split)
+                               split, renorm_every)
     call = pl.pallas_call(
         kernel,
         grid=(n_steps,),

@@ -569,6 +569,8 @@ def main():
                                              n_chunks=n_chunks,
                                              split=split,
                                              variant=variant, chain=chain,
+                                             rescale_every=int(os.environ.get(
+                                                 "BENCH_RESCALE", "4")),
                                              n_abs_hint=hint)
 
                 def run():

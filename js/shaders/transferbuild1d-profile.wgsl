@@ -22,7 +22,8 @@ struct Params {
   isInput : u32, // 1 = profile over inputs, 0 = over outputs
   mode : u32,    // 0 = logsumexp, 1 = maxplus
   nTok : u32,    // profile row width (tokens incl. epsilon column)
-  pad0 : u32,
+  revT : u32,    // 1 = reversed + transposed (backward suffix scan;
+                 // see transferbuild1d.wgsl)
 };
 
 @group(0) @binding(0) var<uniform> params : Params;
@@ -61,17 +62,20 @@ fn main(@builtin(global_invocation_id) gid : vec3<u32>) {
   let p = idx / (S * S);
   let s = (idx / S) % S;
   let d = idx % S;
+  let pSrc = select(p, params.l - 1u - p, params.revT == 1u);
+  let sEff = select(s, d, params.revT == 1u);
+  let dEff = select(d, s, params.revT == 1u);
   var acc : f32 = NEG_INF;
   for (var k = 0u; k < S; k = k + 1u) {
     // marginalize the emission over profile tokens (1-based; 0 = eps)
     var st : f32 = NEG_INF;
     for (var t = 1u; t < params.nTok; t = t + 1u) {
-      let lp = profile[p * params.nTok + t];
+      let lp = profile[pSrc * params.nTok + t];
       if (lp > NEG_INF / 2.0) {
-        st = combine(st, lp + stepAt(t, s, k));
+        st = combine(st, lp + stepAt(t, sEff, k));
       }
     }
-    acc = combine(acc, st + closure[k * S + d]);
+    acc = combine(acc, st + closure[k * S + dEff]);
   }
   mats[idx] = acc;
 }

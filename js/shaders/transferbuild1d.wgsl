@@ -19,7 +19,10 @@ struct Params {
   l : u32,       // positions
   isInput : u32, // 1 = tokens are inputs, 0 = outputs
   mode : u32,    // 0 = logsumexp, 1 = maxplus
-  pad0 : u32,
+  revT : u32,    // 1 = REVERSED + TRANSPOSED matrices: scan slot p holds
+                 // M_{L-1-p}^T, so the forward prefix scan of these
+                 // yields the suffix products the Backward pass needs
+                 // (gpu/dp1d-gpu.mjs backward1DGPU)
   pad1 : u32,
 };
 
@@ -59,10 +62,18 @@ fn main(@builtin(global_invocation_id) gid : vec3<u32>) {
   let p = idx / (S * S);
   let s = (idx / S) % S;
   let d = idx % S;
-  let tok = toks[p];
+  let pSrc = select(p, params.l - 1u - p, params.revT == 1u);
+  let tok = toks[pSrc];
   var acc : f32 = NEG_INF;
-  for (var k = 0u; k < S; k = k + 1u) {
-    acc = combine(acc, stepAt(tok, s, k) + closure[k * S + d]);
+  if (params.revT == 1u) {
+    // transposed entry: mats[p][s][d] = M_{pSrc}[d][s]
+    for (var k = 0u; k < S; k = k + 1u) {
+      acc = combine(acc, stepAt(tok, d, k) + closure[k * S + s]);
+    }
+  } else {
+    for (var k = 0u; k < S; k = k + 1u) {
+      acc = combine(acc, stepAt(tok, s, k) + closure[k * S + d]);
+    }
   }
   mats[idx] = acc;
 }

@@ -171,9 +171,11 @@ def plan7_workload_run(B, Lr, reps):
                             np.int32)
     lens = np.full(B, Lr, np.int32)
 
+    prob = os.environ.get("BENCH_PLAN7_PROB", "0") != "0"
+
     def run(solver):
         f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True,
-                       solver=solver)
+                       solver=solver, prob_space=prob)
         out = f.forward_batch_tokens(toks, lens)   # warmup + compile
         assert np.all(np.isfinite(out)), "non-finite plan7 scores"
         ts = []
@@ -198,7 +200,7 @@ def plan7_workload_run(B, Lr, reps):
     n_stream = int(os.environ.get("BENCH_PLAN7_STREAM", "8"))
     if n_stream > 1:
         f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True,
-                       solver="prefix")
+                       solver="prefix", prob_space=prob)
         batches = [(toks, lens)] * n_stream
         outs = f.forward_stream(batches)           # warmup + compile
         assert np.allclose(outs[0], out_p, atol=1e-4)

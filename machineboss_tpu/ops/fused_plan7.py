@@ -114,7 +114,8 @@ class Plan7Fused:
     """
 
     def __init__(self, hmm, td_ev, mode="plan7", local=True, multihit=False,
-                 length=400.0, n_hit=3, solver="auto", semiring="logsumexp"):
+                 length=400.0, n_hit=3, solver="auto", semiring="logsumexp",
+                 prob_space=None):
         self.hmm = hmm
         self.td_ev = td_ev
         self.mode = mode
@@ -126,6 +127,23 @@ class Plan7Fused:
         # precomputation swaps semiring-matched matmul / reduce / closure
         self.sr = get_semiring(semiring)
         self.viterbi = self.sr is MAXPLUS
+        # OPTIONAL execution semiring of the flat batch solver: for
+        # Forward the row recurrence is linear, so it CAN run in
+        # scaled-probability space (ops/semiring.ProbSemiring) with one
+        # renormalization per token row. Measured on the v5e chip this
+        # is 12% SLOWER than the log-space path (20.9k vs 23.6k
+        # reads/s streamed): XLA already fuses the per-op max/exp/log
+        # passes well, and the per-row full-state renorm plus the exp of
+        # the per-read gathered emission stack cost more than the saved
+        # transcendentals (PERF.md round 5 — kept as a documented
+        # negative result and a semantics cross-check; tests run both).
+        # Host setup (closures, multihit basis maps) always stays in log
+        # space; Viterbi stays log (max has no prob-space form).
+        if prob_space is None:
+            prob_space = False
+        self.prob_space = bool(prob_space) and not self.viterbi
+        from .semiring import PROB
+        self._xsr = PROB if self.prob_space else self.sr
         hmatmul = _np_mp_matmul if self.viterbi else _np_log_matmul
         self._hmatmul = hmatmul
         K = len(hmm.node)
@@ -439,7 +457,7 @@ class Plan7Fused:
             nx_in = self.sr.add(hot["Nx"], self.sr.vecmat(cold["N"], j["enull0"]))
             if first is not None:
                 nx_in = self.sr.add(nx_in, first)
-            nx_hot = self.sr.vecmat(nx_in, j["cloop"])
+            nx_hot = self.sr.vecmat_small(nx_in, j["cloop"])
             n_hot = self.log_loop + nx_hot
             B0_hot = self.log_exit + nx_hot
             ix0_hot = None
@@ -452,7 +470,7 @@ class Plan7Fused:
                 x = self.sr.add(
                     self.sr.vecmat(self.sr.add(self.b_to_i0 + B0_hot, cold["I0"]),
                               j["eins00"]), hot["Ix0"])
-                ix0_hot = self.sr.vecmat(x, j["ci00"])
+                ix0_hot = self.sr.vecmat_small(x, j["ci00"])
 
         B_hot = B0_hot
         e_hot = jx_hot = j_hot = zero_v
@@ -465,7 +483,7 @@ class Plan7Fused:
                 jx_in = self.sr.add(
                     self.sr.add(hot["Jx"], self.sr.vecmat(cold["J"], j["enull0"])),
                     float(np.log(0.5)) + e_hot)
-                jx_hot = self.sr.vecmat(jx_in, j["cloop"])
+                jx_hot = self.sr.vecmat_small(jx_in, j["cloop"])
                 j_hot = self.log_loop + jx_hot
                 B_hot = self.sr.add(B0_hot, self.log_exit + jx_hot)
             else:
@@ -477,7 +495,7 @@ class Plan7Fused:
             cx_in = self.sr.add(
                 self.sr.add(hot["Cx"], self.sr.vecmat(cold["C"], j["enull0"])),
                 e_to_c + e_hot)
-            cx_hot = self.sr.vecmat(cx_in, j["cloop"])
+            cx_hot = self.sr.vecmat_small(cx_in, j["cloop"])
             c_hot = self.log_loop + cx_hot
             t_hot = self.log_exit + cx_hot
             val_T = self.sr.add(t_hot, cold["T"])
@@ -639,73 +657,82 @@ class Plan7Fused:
     def _row_core_batch(self, B_hot, cold_m, cold_i, hot_mx, hot_ix,
                         ix0_hot):
         """Batched _row_core: all tensors carry a leading batch dim.
-        B_hot (B,St); cold_m/cold_i/hot_mx/hot_ix (B,K,St)."""
+        B_hot (B,St); cold_m/cold_i/hot_mx/hot_ix (B,K,St). Runs in the
+        EXECUTION semiring (self._xsr): log ops for Viterbi, pure
+        multiply/add in scaled-probability space for Forward (matrices
+        and log constants exp'd by the semiring; constants fold at
+        compile time)."""
         j = self._j
+        sr = self._xsr
         K, St = self.K, self.St
 
         if self.local:
-            u_hot = j["entry"][None, :, None] + B_hot[:, None, :]
+            u_hot = sr.cx(j["entry"][None, :, None], B_hot[:, None, :])
         else:
-            u0 = self.b_to_m1 + B_hot
+            u0 = sr.cx(self.b_to_m1, B_hot)
             if ix0_hot is not None:
-                u0 = self.sr.add(u0, self.i0_to_m1 + ix0_hot)
-            u_hot = jnp.full((B_hot.shape[0], K, St), self.sr.zero,
+                u0 = sr.add(u0, sr.cx(self.i0_to_m1, ix0_hot))
+            u_hot = jnp.full((B_hot.shape[0], K, St), sr.zero,
                              jnp.float32).at[:, 0].set(u0)
 
         def kmat(v, m):                       # (B,K,St) x (K,St,St)
-            return self.sr.matmul(v[:, :, None, :], m)[:, :, 0, :]
+            # tiny St contraction: elementwise-expanded semiring matmul
+            return sr.vecmat_small(v, m)
 
-        b_mx = self.sr.add(kmat(self.sr.add(u_hot, cold_m), j["em0"]), hot_mx)
+        b_mx = sr.add(kmat(sr.add(u_hot, cold_m), j["em0"]), hot_mx)
         cold_i_ei0 = kmat(cold_i, j["ei0"])
-        ix_aff_in = self.sr.add(cold_i_ei0, hot_ix)
-        i_aff = self.sr.add(j["m_to_i"][None, :, None] + b_mx,
-                       j["i_to_i"][None, :, None] + ix_aff_in)
-        b_ix = self.sr.add(kmat(kmat(i_aff, j["ci"]), j["ei0"]), ix_aff_in)
-        b_d = jnp.full_like(b_mx, self.sr.zero)
+        ix_aff_in = sr.add(cold_i_ei0, hot_ix)
+        i_aff = sr.add(sr.cx(j["m_to_i"][None, :, None], b_mx),
+                       sr.cx(j["i_to_i"][None, :, None], ix_aff_in))
+        b_ix = sr.add(kmat(kmat(i_aff, j["ci"]), j["ei0"]), ix_aff_in)
+        b_d = jnp.full_like(b_mx, sr.zero)
         if not self.local:
-            b_d = b_d.at[:, 0].set(self.b_to_d1 + B_hot)
+            b_d = b_d.at[:, 0].set(sr.cx(self.b_to_d1, B_hot))
         b = jnp.concatenate([b_mx, b_ix, b_d], axis=-1)       # (B,K,3St)
 
         Bn = b.shape[0]
-        carry = self.sr.vecmat(b.reshape(Bn, K * 3 * St),
+        carry = sr.vecmat(b.reshape(Bn, K * 3 * St),
                           j["t_tri"]).reshape(Bn, K, 3 * St)
         mx_hot = carry[:, :, 0:St]
         ix_hot = carry[:, :, St:2 * St]
         d_hot = carry[:, :, 2 * St:]
 
         prev = jnp.concatenate(
-            [jnp.full((Bn, 1, 3 * St), self.sr.zero, carry.dtype),
+            [jnp.full((Bn, 1, 3 * St), sr.zero, carry.dtype),
              carry[:, :-1]], axis=1)
-        lin = self.sr.add(
-            self.sr.add(jnp.roll(j["m_to_m"], 1)[None, :, None]
-                   + prev[:, :, 0:St],
-                   jnp.roll(j["i_to_m"], 1)[None, :, None]
-                   + prev[:, :, St:2 * St]),
-            jnp.roll(j["d_to_m"], 1)[None, :, None] + prev[:, :, 2 * St:])
-        m_hot = self.sr.add(lin, u_hot)
-        i_hot = kmat(self.sr.add(j["m_to_i"][None, :, None] + mx_hot,
-                            j["i_to_i"][None, :, None] + ix_aff_in),
+        lin = sr.add(
+            sr.add(sr.cx(jnp.roll(j["m_to_m"], 1)[None, :, None],
+                         prev[:, :, 0:St]),
+                   sr.cx(jnp.roll(j["i_to_m"], 1)[None, :, None],
+                         prev[:, :, St:2 * St])),
+            sr.cx(jnp.roll(j["d_to_m"], 1)[None, :, None],
+                  prev[:, :, 2 * St:]))
+        m_hot = sr.add(lin, u_hot)
+        i_hot = kmat(sr.add(sr.cx(j["m_to_i"][None, :, None], mx_hot),
+                            sr.cx(j["i_to_i"][None, :, None], ix_aff_in)),
                      j["ci"])
         return m_hot, mx_hot, i_hot, ix_hot, d_hot, ix_aff_in
 
     def _row_E_batch(self, m_hot, mx_hot, i_hot, ix_hot, d_hot):
         j = self._j
+        sr = self._xsr
         K = self.K
         if self.local:
-            e = self.sr.reduce(jnp.concatenate([m_hot, d_hot], axis=1), axis=1)
+            e = sr.reduce(jnp.concatenate([m_hot, d_hot], axis=1), axis=1)
         else:
-            e = self.sr.add(j["m_to_m"][K - 1] + mx_hot[:, K - 1],
-                       j["d_to_m"][K - 1] + d_hot[:, K - 1])
-        return self.sr.add(e, j["i_to_m"][K - 1] + ix_hot[:, K - 1])
+            e = sr.add(sr.cx(j["m_to_m"][K - 1], mx_hot[:, K - 1]),
+                       sr.cx(j["d_to_m"][K - 1], d_hot[:, K - 1]))
+        return sr.add(e, sr.cx(j["i_to_m"][K - 1], ix_hot[:, K - 1]))
 
     def _solve_row_batch(self, cold, hot, first, Bn):
         """Batched _solve_row over the flat (B, NB, St) layout.
         cold (B,NB,St); hot (B,2K+4,St) aligned with _hot_dst; first is
         the (St,) start vector at row 0 or None."""
         j = self._j
+        sr = self._xsr
         K, St = self.K, self.St
         fb = self._fb
-        zero_bv = jnp.full((Bn, St), self.sr.zero, jnp.float32)
+        zero_bv = jnp.full((Bn, St), sr.zero, jnp.float32)
         plan7 = self.mode == "plan7"
 
         cold_m = cold[:, 0:K]
@@ -718,13 +745,13 @@ class Plan7Fused:
         hot_ix0 = hot[:, 2 * K + 3]
 
         if plan7:
-            nx_in = self.sr.add(hot_nx,
-                           self.sr.vecmat(cold[:, fb["N"]], j["enull0"]))
+            nx_in = sr.add(hot_nx,
+                           sr.vecmat_small(cold[:, fb["N"]], j["enull0"]))
             if first is not None:
-                nx_in = self.sr.add(nx_in, jnp.broadcast_to(first, (Bn, St)))
-            nx_hot = self.sr.vecmat(nx_in, j["cloop"])
-            n_hot = self.log_loop + nx_hot
-            B0_hot = self.log_exit + nx_hot
+                nx_in = sr.add(nx_in, jnp.broadcast_to(first, (Bn, St)))
+            nx_hot = sr.vecmat_small(nx_in, j["cloop"])
+            n_hot = sr.cx(self.log_loop, nx_hot)
+            B0_hot = sr.cx(self.log_exit, nx_hot)
             ix0_hot = None
         else:
             nx_hot = n_hot = zero_bv
@@ -733,42 +760,43 @@ class Plan7Fused:
             if self.local:
                 ix0_hot = None
             else:
-                x = self.sr.add(
-                    self.sr.vecmat(self.sr.add(self.b_to_i0 + B0_hot,
-                                     cold[:, fb["I0"]]), j["eins00"]),
+                x = sr.add(
+                    sr.vecmat_small(sr.add(sr.cx(self.b_to_i0, B0_hot),
+                                           cold[:, fb["I0"]]), j["eins00"]),
                     hot_ix0)
-                ix0_hot = self.sr.vecmat(x, j["ci00"])
+                ix0_hot = sr.vecmat_small(x, j["ci00"])
 
         if plan7 and self.multihit:
             # base pass with no B mass, then exact re-entry closure
-            neg_b = jnp.full((Bn, St), self.sr.zero, jnp.float32)
+            neg_b = jnp.full((Bn, St), sr.zero, jnp.float32)
             m0, mx0, i0_, ix0_, d0, _ = self._row_core_batch(
                 neg_b, cold_m, cold_i, hot_mx, hot_ix, None)
             e_base = self._row_E_batch(m0, mx0, i0_, ix0_, d0)
-            jx_base = self.sr.add(
-                self.sr.add(hot_jx, self.sr.vecmat(cold[:, fb["J"]], j["enull0"])),
-                float(np.log(0.5)) + e_base)
-            c_in = self.sr.add(B0_hot,
-                          self.log_exit + self.sr.vecmat(jx_base, j["cloop"]))
-            B_hot = self.sr.vecmat(c_in, self._mloop_star)
+            jx_base = sr.add(
+                sr.add(hot_jx, sr.vecmat_small(cold[:, fb["J"]], j["enull0"])),
+                sr.cx(float(np.log(0.5)), e_base))
+            c_in = sr.add(B0_hot,
+                          sr.cx(self.log_exit,
+                                sr.vecmat_small(jx_base, j["cloop"])))
+            B_hot = sr.vecmat_small(c_in, self._mloop_star)
             # outputs = base (+) B (x) M_{B->cls}
             mb = self._mb
 
             def badd(base_kv, key):
-                return self.sr.add(base_kv, self.sr.matmul(
-                    B_hot[:, None, None, :], mb[key])[:, :, 0, :])
+                return sr.add(base_kv,
+                              sr.vecmat_small(B_hot[:, None, :], mb[key]))
 
             m_hot = badd(m0, "M")
             mx_hot = badd(mx0, "Mx")
             i_hot = badd(i0_, "I")
             ix_hot = badd(ix0_, "Ix")
             d_hot = badd(d0, "D")
-            e_hot = self.sr.add(e_base, self.sr.vecmat(B_hot, mb["E"]))
-            jx_in = self.sr.add(jx_base,
-                           float(np.log(0.5))
-                           + self.sr.vecmat(B_hot, mb["E"]))
-            jx_hot = self.sr.vecmat(jx_in, j["cloop"])
-            j_hot = self.log_loop + jx_hot
+            e_hot = sr.add(e_base, sr.vecmat_small(B_hot, mb["E"]))
+            jx_in = sr.add(jx_base,
+                           sr.cx(float(np.log(0.5)),
+                                 sr.vecmat_small(B_hot, mb["E"])))
+            jx_hot = sr.vecmat_small(jx_in, j["cloop"])
+            j_hot = sr.cx(self.log_loop, jx_hot)
         else:
             B_hot = B0_hot
             m_hot, mx_hot, i_hot, ix_hot, d_hot, _ = self._row_core_batch(
@@ -778,17 +806,18 @@ class Plan7Fused:
 
         if plan7:
             e_to_c = float(np.log(0.5)) if self.multihit else 0.0
-            cx_in = self.sr.add(
-                self.sr.add(hot_cx, self.sr.vecmat(cold[:, fb["C"]], j["enull0"])),
-                e_to_c + e_hot)
-            cx_hot = self.sr.vecmat(cx_in, j["cloop"])
-            c_hot = self.log_loop + cx_hot
-            t_hot = self.log_exit + cx_hot
+            cx_in = sr.add(
+                sr.add(hot_cx, sr.vecmat_small(cold[:, fb["C"]], j["enull0"])),
+                sr.cx(e_to_c, e_hot))
+            cx_hot = sr.vecmat_small(cx_in, j["cloop"])
+            c_hot = sr.cx(self.log_loop, cx_hot)
+            t_hot = sr.cx(self.log_exit, cx_hot)
         else:
             cx_hot = c_hot = zero_bv
             t_hot = e_hot
         if ix0_hot is not None:
-            i0_hot = self.sr.add(self.b_to_i0 + B_hot, self.i0_to_i0 + ix0_hot)
+            i0_hot = sr.add(sr.cx(self.b_to_i0, B_hot),
+                            sr.cx(self.i0_to_i0, ix0_hot))
             ix0_v = ix0_hot
         else:
             i0_hot = ix0_v = zero_bv
@@ -797,7 +826,7 @@ class Plan7Fused:
                             j_hot, jx_hot, t_hot, i0_hot, ix0_v], axis=1)
         x_hot = jnp.concatenate(
             [m_hot, mx_hot, i_hot, ix_hot, d_hot, flanks], axis=1)
-        return self.sr.add(x_hot, cold)                           # (B,NB,St)
+        return sr.add(x_hot, cold)                           # (B,NB,St)
 
     def _forward_batch_impl(self, toks, lens):
         """Batch-major fused Forward: toks (B, Lo) output token ids,
@@ -806,37 +835,69 @@ class Plan7Fused:
         and the paired emissions ONE gathered batched matmul — versus
         ~20 per-class ops in the vmapped path. Returns (B,) log-likes."""
         j = self._j
+        sr = self._xsr
         K, St = self.K, self.St
         nb = self._nb
         fb = self._fb
         Bn = toks.shape[0]
-        neg = jnp.full((Bn, nb, St), self.sr.zero, jnp.float32)
-        neg_hot = jnp.full((Bn, 2 * K + 4, St), self.sr.zero, jnp.float32)
+        prob = self.prob_space
+        neg = jnp.full((Bn, nb, St), sr.zero, jnp.float32)
+        neg_hot = jnp.full((Bn, 2 * K + 4, St), sr.zero, jnp.float32)
 
-        start = jnp.full((St,), self.sr.zero, jnp.float32).at[0].set(0.0)
-        start = self.sr.vecmat(start, j["t_closure"])
+        start = jnp.full((St,), sr.zero, jnp.float32).at[0].set(sr.one)
+        start = sr.vecmat(start, j["t_closure"])
         x0 = self._solve_row_batch(neg, neg_hot, start, Bn)
+        scale0 = jnp.zeros((Bn,), jnp.float32)
+        if prob:
+            x0, scale0 = self._renorm(x0, scale0)
 
         em_src = jnp.array(self._em_src)
         hot_dst = jnp.array(self._hot_dst)
 
-        def step(x, inp):
+        def step(carry, inp):
+            x, scale = carry
             y, pos = inp
-            cold = self.sr.matmul(x, j["ty0"][y])                 # (B,NB,St)
+            cold = sr.vecmat_small(x, j["ty0"][y][:, None])  # (B,NB,St)
             src = jnp.take(x, em_src, axis=1)                # (B,2K+4,St)
             emg = self._em_stack[y]                          # (B,2K+4,S,S)
-            hot = self.sr.matmul(src[:, :, None, :], emg)[:, :, 0, :]
+            hot = sr.vecmat_small(src, emg)
             # cold arrivals at the hot destinations stay in `cold`; the
             # solver reads them separately (canonical interleaving)
             x_new = self._solve_row_batch(cold, hot, None, Bn)
+            scale_new = scale
+            if prob:
+                # ONE renormalization per token row keeps the f32
+                # probability carry near unit scale (values > ~87 nats
+                # below the per-read max flush to zero — far below the
+                # 0.01-nat contract); the log here is (B,) scalars, not
+                # a state-tensor pass
+                x_new, scale_new = self._renorm(x_new, scale)
             keep = (pos < lens)[:, None, None]
-            return jnp.where(keep, x_new, x), None
+            x_out = jnp.where(keep, x_new, x)
+            scale_out = jnp.where(keep[:, 0, 0], scale_new, scale)
+            return (x_out, scale_out), None
 
-        final, _ = jax.lax.scan(step, x0,
-                                (jnp.transpose(toks), jnp.arange(
-                                    toks.shape[1])))
+        (final, scale), _ = jax.lax.scan(
+            step, (x0, scale0),
+            (jnp.transpose(toks), jnp.arange(toks.shape[1])))
         row = fb["T"] if self.mode == "plan7" else fb["E"]
-        return final[:, row, St - 1]
+        v = final[:, row, St - 1]
+        if prob:
+            return jnp.where(v > 0.0,
+                             jnp.log(jnp.maximum(v, 1e-38)) + scale,
+                             NEG_INF)
+        return v
+
+    @staticmethod
+    def _renorm(x, scale):
+        """Per-read rescale of the probability carry (prob_space mode)."""
+        m = jnp.max(x, axis=(1, 2))                          # (B,)
+        ok = m > 0.0
+        inv = jnp.where(ok, 1.0 / jnp.maximum(m, 1e-38), 0.0)
+        x = x * inv[:, None, None]
+        scale = jnp.where(ok, scale + jnp.log(jnp.maximum(m, 1e-38)),
+                          NEG_INF)
+        return x, scale
 
     # ------------------------------------------------------------- public
 

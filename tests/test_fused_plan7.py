@@ -156,7 +156,11 @@ def test_fused_flat_batch_matches_vmap():
                        multihit=multihit, length=10.0, solver="prefix")
         flat = f.forward_batch(reads, impl="flat")
         legacy = f.forward_batch(reads, impl="vmap")
-        tol = 1e-3 if multihit else 1e-6
+        # the flat solver executes in scaled-probability space
+        # (ops/semiring.ProbSemiring): a few-ulp f32 difference vs the
+        # log-space vmap path is expected; multihit additionally differs
+        # by the vmap path's n_hit truncation
+        tol = 1e-3 if multihit else 1e-5
         assert np.abs(flat - legacy).max() < tol, (mode, local, multihit)
         if multihit:
             # flat's re-entry closure is exact; vmap truncates at n_hit,
@@ -269,3 +273,26 @@ def test_forward_stream_matches_blocking():
     for (toks, lens), got in zip(batches, streamed):
         want = f.forward_batch_tokens(toks, lens)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_prob_space_execution_matches_log():
+    """The scaled-probability execution semiring (Plan7Fused
+    prob_space=True; ops/semiring.ProbSemiring) must reproduce the
+    log-space flat solver: same recurrence, different arithmetic
+    (kept as a documented-negative perf mode — PERF.md round 5)."""
+    hmm, td, td_ev = _setup()
+    rng = np.random.RandomState(4)
+    reads = [["ACGT"[i] for i in rng.randint(0, 4, rng.randint(2, 9))]
+             for _ in range(8)]
+    for mode, local, multihit in (("core", True, False),
+                                  ("plan7", True, False),
+                                  ("plan7", True, True)):
+        f_log = Plan7Fused(hmm, td_ev, mode=mode, local=local,
+                           multihit=multihit, length=10.0,
+                           solver="prefix", prob_space=False)
+        f_prob = Plan7Fused(hmm, td_ev, mode=mode, local=local,
+                            multihit=multihit, length=10.0,
+                            solver="prefix", prob_space=True)
+        a = f_log.forward_batch(reads, impl="flat")
+        b = f_prob.forward_batch(reads, impl="flat")
+        assert np.abs(a - b).max() < 1e-4, (mode, local, multihit)

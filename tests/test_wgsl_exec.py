@@ -366,3 +366,86 @@ def test_gpu_module_matrix_complete():
                "forward1DProfileGPU", "viterbi1DProfileGPU",
                "backward1DProfileGPU"):
         assert ("export async function %s" % fn) in src, fn
+
+
+# ------------------------------------------- 2D backward + posteriors
+
+def _run_wavefront2d_backward(lm, ev, x, y, mode):
+    src = open(os.path.join(os.path.dirname(__file__), "..", "js",
+                            "shaders", "wavefront2d-backward.wgsl")).read()
+    mod = Module(src)
+    S = ev.n_states()
+    Li, Lo = len(x), len(y)
+    trans = _clamp32(lm.log_trans).reshape(-1)
+    clo = _clamp32(lm.closure_for(
+        "maxplus" if mode == 1 else "logsumexp")).reshape(-1)
+    lat = np.full((Li + 1) * (Lo + 1) * S, WGSL_NEG, np.float32)
+    xs = _toks(ev, x, "in")
+    ys = _toks(ev, y, "out")
+    for d in range(Li + Lo, -1, -1):
+        i_lo = max(0, d - Lo)
+        i_hi = min(Li, d)
+        params = {"s": S, "nIn": lm.n_in, "nOut": lm.n_out,
+                  "li": Li, "lo": Lo, "d": d, "iLoBase": i_lo,
+                  "mode": mode}
+        mod.dispatch("main", {0: params, 1: trans, 2: clo, 3: xs, 4: ys,
+                              5: lat}, workgroups=(i_hi - i_lo + 1, 1, 1))
+    return lat.reshape(Li + 1, Lo + 1, S)
+
+
+def test_wavefront2d_backward_shader_matches_host():
+    """The backward wavefront shader EXECUTES to the host f64
+    BackwardMatrix values, and its cell (0,0,0) equals the forward
+    log-likelihood (the GPU module's backward2DGPU contract)."""
+    from machineboss_tpu.algo.dp_host import BackwardMatrix
+    m, ev, lm = _setup()
+    x, y = "101", "0011"
+    lat = _run_wavefront2d_backward(lm, ev, x, y, mode=0)
+    sp = SeqPair(NamedSeq("x", list(x)), NamedSeq("y", list(y)))
+    host = BackwardMatrix(ev, sp)
+    assert abs(float(lat[0, 0, 0]) - host.log_like()) < 2e-3
+    fwd_ll = ForwardMatrix(ev, sp).log_like()
+    assert abs(float(lat[0, 0, 0]) - fwd_ll) < 2e-3
+    for (i, o) in ((1, 1), (2, 2), (3, 3)):
+        for s in range(ev.n_states()):
+            h = host.cell[i, o, s]
+            g = float(lat[i, o, s])
+            if h == -np.inf or h <= -1e29:
+                assert g <= -1e29, (i, o, s, g)
+            else:
+                assert abs(g - h) < 2e-3, (i, o, s, g, h)
+
+
+def test_posteriors2d_shader_matches_host():
+    """Forward fill + backward fill + the elementwise posteriors shader
+    == host f64 visiting-state posteriors (fwd post-closure x bwd
+    leading-closure split — each path counted once per visit)."""
+    m, ev, lm = _setup()
+    x, y = "101", "0011"
+    S = ev.n_states()
+    fwd = _run_wavefront2d(lm, ev, x, y, mode=0).reshape(-1)
+    bwd = _run_wavefront2d_backward(lm, ev, x, y, mode=0).reshape(-1)
+    n = fwd.size
+    ll = float(fwd[-1])
+    src = open(os.path.join(os.path.dirname(__file__), "..", "js",
+                            "shaders", "posteriors2d.wgsl")).read()
+    mod = Module(src)
+    post = np.zeros(n, np.float32)
+    mod.dispatch("main", {0: {"n": n, "logLike": np.float32(ll),
+                              "pad0": 0, "pad1": 0},
+                          1: fwd, 2: bwd, 3: post},
+                 workgroups=(-(-n // 64), 1, 1))
+    # host posteriors: fwd_host + bwd_host - ll, exp'd
+    from machineboss_tpu.algo.dp_host import BackwardMatrix
+    sp = SeqPair(NamedSeq("x", list(x)), NamedSeq("y", list(y)))
+    hf = ForwardMatrix(ev, sp)
+    hb = BackwardMatrix(ev, sp)
+    ll_h = hf.log_like()
+    post = post.reshape(len(x) + 1, len(y) + 1, S)
+    for i in range(len(x) + 1):
+        for o in range(len(y) + 1):
+            for s in range(S):
+                hp = hf.cell[i, o, s] + hb.cell[i, o, s] - ll_h
+                want = np.exp(hp) if np.isfinite(hp) else 0.0
+                assert abs(float(post[i, o, s]) - want) < 2e-3, \
+                    (i, o, s, float(post[i, o, s]), want)

@@ -176,12 +176,13 @@ def plan7_workload_run(B, Lr, reps):
     def run(solver):
         f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True,
                        solver=solver, prob_space=prob)
-        out = f.forward_batch_tokens(toks, lens)   # warmup + compile
+        impl = "flat" if solver == "prefix" else "vmap"
+        out = f.forward_batch_tokens(toks, lens, impl=impl)
         assert np.all(np.isfinite(out)), "non-finite plan7 scores"
         ts = []
         for _ in range(reps):
             t0 = _time.perf_counter()
-            out2 = f.forward_batch_tokens(toks, lens)
+            out2 = f.forward_batch_tokens(toks, lens, impl=impl)
             ts.append(_time.perf_counter() - t0)
         return out, min(ts)
 
@@ -201,9 +202,18 @@ def plan7_workload_run(B, Lr, reps):
     if n_stream > 1:
         f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=True,
                        solver="prefix", prob_space=prob)
+        # the stream metric uses impl='auto' — on TPU backends that is
+        # the VMEM-resident Pallas kernel (PERF.md round 5); gate it
+        # against the prefix solver within the 0.01-nat contract
+        out_k = f.forward_batch_tokens(toks, lens)
+        errk = np.abs(out_k - out_p).max()
+        sys.stderr.write("plan7 kernel gate: max |auto-impl - prefix| "
+                         "= %.2e nats\n" % errk)
+        if errk > 0.01:
+            raise SystemExit("PLAN7 KERNEL GATE FAILED: %.3e" % errk)
         batches = [(toks, lens)] * n_stream
         outs = f.forward_stream(batches)           # warmup + compile
-        assert np.allclose(outs[0], out_p, atol=1e-4)
+        assert np.allclose(outs[0], out_p, atol=1e-2)
         ts = []
         for _ in range(reps):
             t0 = _time.perf_counter()

@@ -296,3 +296,28 @@ def test_prob_space_execution_matches_log():
         a = f_log.forward_batch(reads, impl="flat")
         b = f_prob.forward_batch(reads, impl="flat")
         assert np.abs(a - b).max() < 1e-4, (mode, local, multihit)
+
+
+def test_pallas_fused_plan7_kernel_matches_flat():
+    """The VMEM-resident Pallas fused-Plan7 kernel (interpret mode)
+    equals the XLA flat solver on ragged batches, multihit on and off
+    (ops/pallas/fused_plan7_kernel.py; 155k reads/s vs 29k on chip —
+    PERF.md round 5)."""
+    from machineboss_tpu.ops.pallas.fused_plan7_kernel import \
+        make_fused_plan7_pallas
+
+    hmm, td, td_ev = _setup()
+    rng = np.random.RandomState(1)
+    B, L = 8, 7
+    for multihit in (False, True):
+        f = Plan7Fused(hmm, td_ev, mode="plan7", multihit=multihit,
+                       length=10.0, solver="prefix")
+        toks = rng.randint(1, f.n_out, (B, L)).astype(np.int32)
+        lens = rng.randint(1, L + 1, B).astype(np.int32)
+        want = f.forward_batch_tokens(toks, lens, impl="flat")
+        k = make_fused_plan7_pallas(f, B, L, interpret=True)
+        got = k(toks, lens)
+        assert np.abs(got - want).max() < 2e-3, (multihit, want, got)
+        # the public auto-routing entry (interpret on CPU backends)
+        got2 = f.forward_batch_tokens(toks, lens, impl="pallas")
+        assert np.abs(got2 - want).max() < 2e-3, multihit

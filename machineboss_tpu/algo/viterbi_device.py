@@ -203,10 +203,22 @@ def device_viterbi_matrices(ev, seq_pairs, lowered=None, dtype=np.float32,
                 it0, ot0, li, lo)
             cells = sparse_cells_from_records(n, ij, vals)
 
-            def _fb(lat_dev=lat_dev, fill=fill, sp=sp):
-                full = fill.scatter(np.asarray(lat_dev))
-                return DeviceViterbiMatrix(
-                    ev, sp, fill_fn=lambda i0, o0, f=full: f)
+            if okf:
+                # successful walk: drop the device lattice now — pinning
+                # every pair's ~100 MB band in HBM for the matrices'
+                # lifetime would exhaust the chip on long batches; the
+                # rare tie-divergence fallback re-runs the fill instead
+                def _fb(fill=fill, it0=it0, ot0=ot0, sp=sp):
+                    full = fill.scatter(np.asarray(
+                        fill.fill_raw(it0, ot0)))
+                    return DeviceViterbiMatrix(
+                        ev, sp, fill_fn=lambda i0, o0, f=full: f)
+                lat_dev = None
+            else:
+                def _fb(lat_dev=lat_dev, fill=fill, sp=sp):
+                    full = fill.scatter(np.asarray(lat_dev))
+                    return DeviceViterbiMatrix(
+                        ev, sp, fill_fn=lambda i0, o0, f=full: f)
             out.append(SparseDeviceViterbiMatrix(ev, sp, cells, okf, _fb))
         return out
     tok_in = [np.array(ev.input_tokenizer.tokenize(sp.input.seq),

@@ -623,14 +623,20 @@ class Machine:
                 collapse_degenerate=True, cycle_strategy=SUM_SILENT_CYCLES):
         """first's output feeds second's input (ref: src/machine.cpp:794)."""
         native = _native_lib()
-        # the composed machine's silent SCCs are bounded by the product of
-        # the inputs' largest silent SCCs (a composed silent cycle projects
-        # to a silent cycle in at least one operand); above the fold limit
-        # Python switches to the SCC-Kleene closure (eliminate_silent_
-        # cycles), which the native core does not implement — keep such
-        # machines on the Python path so native stays byte-identical
-        scc_bound = (max(first.max_silent_scc_size(), 1)
-                     * max(orig_second.max_silent_scc_size(), 1))
+        # the composed machine's silent SCCs are bounded by the product
+        # of first's largest INPUT-EMPTY-edge SCC and second's largest
+        # OUTPUT-EMPTY-edge SCC: a composed silent transition is either
+        # (first silent, second stays) or (first out-only, second
+        # in-only absorbing), so a composite silent cycle projects to a
+        # closed in-empty walk in first and a closed out-empty walk in
+        # second. Above the fold limit Python switches to the SCC-Kleene
+        # closure (eliminate_silent_cycles), which the native core does
+        # not implement — keep such machines on the Python path so
+        # native stays byte-identical
+        scc_bound = (max(first.max_silent_scc_size(
+                         lambda t: t.input_empty()), 1)
+                     * max(orig_second.max_silent_scc_size(
+                           lambda t: t.output_empty()), 1))
         if (native is not None and assign_state_names and collapse_degenerate
                 and scc_bound <= SILENT_SCC_FOLD_LIMIT
                 and (_native_mode() == "force"
@@ -743,8 +749,12 @@ class Machine:
             raise ValueError("Attempt to intersect transducers A&B with"
                              " nonempty output alphabets")
         native = _native_lib()
-        scc_bound = (max(first.max_silent_scc_size(), 1)
-                     * max(orig_second.max_silent_scc_size(), 1))
+        # intersect pairs transitions with EQUAL input; a composite
+        # silent cycle projects to in-empty cycles in both operands
+        scc_bound = (max(first.max_silent_scc_size(
+                         lambda t: t.input_empty()), 1)
+                     * max(orig_second.max_silent_scc_size(
+                           lambda t: t.input_empty()), 1))
         if (native is not None
                 and scc_bound <= SILENT_SCC_FOLD_LIMIT
                 and (_native_mode() == "force"
@@ -1141,14 +1151,21 @@ class Machine:
             am.states.append(st)
         return am
 
-    def silent_sccs(self):
+    def silent_sccs(self, pred=None):
         """Strongly-connected components of the silent-transition graph
-        (iterative Tarjan; deterministic component order)."""
+        (iterative Tarjan; deterministic component order). `pred`
+        selects the edge set (default Transition.is_silent; the compose
+        gate passes input-empty / output-empty predicates, since a
+        COMPOSED silent cycle projects to a cycle of in-empty
+        transitions in the first operand and out-empty transitions in
+        the second — not necessarily silent ones)."""
+        if pred is None:
+            pred = Transition.is_silent
         n = self.n_states()
         adj = [[] for _ in range(n)]
         for s in range(n):
             for t in self.states[s].trans:
-                if t.is_silent():
+                if pred(t):
                     adj[s].append(t.dest)
         index = [-1] * n
         low = [0] * n
@@ -1194,8 +1211,8 @@ class Machine:
                     low[u] = min(low[u], low[v])
         return sccs
 
-    def max_silent_scc_size(self):
-        return max((len(c) for c in self.silent_sccs()), default=0)
+    def max_silent_scc_size(self, pred=None):
+        return max((len(c) for c in self.silent_sccs(pred)), default=0)
 
     def eliminate_silent_cycles(self):
         """SCC-aware silent-cycle elimination.
@@ -1217,6 +1234,15 @@ class Machine:
         sccs = [c for c in self.silent_sccs() if len(c) > 1]
         if not sccs:
             return self
+        end = self.n_states() - 1
+        if any(end in c for c in sccs):
+            # the rewrite collapses silent wandering into wander-then-
+            # EXIT transitions, so paths that TERMINATE inside an SCC
+            # (end state in the component) would lose their mass
+            raise ValueError(
+                "eliminate_silent_cycles: the end state lies inside a "
+                "silent SCC; termination mass cannot be represented by "
+                "the exit rewrite — use the legacy advancing fold")
         am = Machine()
         am.import_from(self)
         am.states = [st.clone() for st in self.states]
@@ -1304,10 +1330,19 @@ class Machine:
         """Eliminate silent back-transitions by path-sum forwarding (ref :1177)."""
         if self.is_advancing_machine():
             return self
-        if self.max_silent_scc_size() > SILENT_SCC_FOLD_LIMIT:
+        big_sccs = [c for c in self.silent_sccs()
+                    if len(c) > SILENT_SCC_FOLD_LIMIT]
+        if big_sccs and not any(self.n_states() - 1 in c
+                                for c in big_sccs):
             # the legacy fold below is pathological on large silent SCCs
             # (composed multihit Plan7); close the cycles per-SCC instead,
-            # then sort the now-acyclic silent graph forward
+            # then sort the now-acyclic silent graph forward. The
+            # SCC-Kleene rewrite collapses silent wandering into the
+            # wander-then-EXIT transitions, so it cannot represent
+            # TERMINATING inside an SCC — if the end state sits in an
+            # oversized SCC (pathological hand-built machines only; a
+            # Plan7 end state is outside the E->J->B loop), stay on the
+            # exact legacy fold instead of silently dropping that mass.
             return (self.eliminate_silent_cycles().advance_sort()
                     .advancing_machine())
         am = Machine()

@@ -947,8 +947,13 @@ class Plan7Fused:
         if impl == "pallas":
             ks = {}
             # persists across calls: steady-state serving re-streams the
-            # same token arrays every tick (keyed by id; entries pin the
-            # device copy for the lifetime of this instance)
+            # same token arrays every tick. Entries hold (host_array,
+            # device_array): retaining the host array keeps its id alive,
+            # so the id key can never be recycled onto a DIFFERENT
+            # array's address (a freed-and-reallocated numpy array would
+            # otherwise silently serve stale device tokens). Bounded to
+            # 64 entries (FIFO) so the pinned device copies cannot grow
+            # without limit.
             dev = self.__dict__.setdefault("_dev_cache", {})
             pending = []
 
@@ -958,16 +963,23 @@ class Plan7Fused:
                 # the synchronous host->device copy per enqueue was
                 # 4x the kernel itself on the fn3 bench (measured)
                 key = id(a)
-                if key not in dev:
-                    dev[key] = jnp.asarray(a)
-                return dev[key]
+                hit = dev.get(key)
+                if hit is not None and hit[0] is a:
+                    return hit[1]
+                if len(dev) >= 64:
+                    dev.pop(next(iter(dev)))
+                d = jnp.asarray(a)
+                dev[key] = (a, d)
+                return d
 
+            interp = jax.default_backend() in ("cpu",)
             for t, ln in batches:
                 t_np = np.asarray(t)
                 key = t_np.shape
                 if key not in ks:
                     ks[key] = self._pallas_fwd(t_np.shape[0],
-                                               t_np.shape[1])
+                                               t_np.shape[1],
+                                               interpret=interp)
                 k = ks[key]
                 pending.append((k, k.device_call(as_dev(t), as_dev(ln)),
                                 np.asarray(ln).shape[0]))
@@ -975,16 +987,8 @@ class Plan7Fused:
             # separately pays a full host round trip per batch (~2.5 ms
             # on this runtime — 8 pulls cost 3x the kernel; measured)
             host = jax.device_get([d for (_k, d, _b) in pending])
-            out = []
-            for (k, _d, B_), o in zip(pending, host):
-                o = np.asarray(o, np.float64)
-                mant, expo = o[0, :B_], o[1, :B_]
-                dead = o[2, :B_] > 0.5
-                with np.errstate(divide="ignore"):
-                    ll = (np.log(np.maximum(mant, 1e-300))
-                          + expo * np.log(2.0))
-                out.append(np.where(dead | (mant <= 0.0), NEG_INF, ll))
-            return out
+            return [k.decode(np.asarray(o), B_)
+                    for (k, _d, B_), o in zip(pending, host)]
         if impl == "flat":
             if not hasattr(self, "_fb"):
                 self._init_flat()

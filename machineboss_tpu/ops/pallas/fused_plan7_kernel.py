@@ -518,12 +518,19 @@ def make_fused_plan7_pallas(fused, B, L, interpret=False):
         lp = jnp.zeros((8, Bp), jnp.int32).at[0, :B].set(lens)
         return call(ttri_j, kco_j, ksc_j, emm_j, emi_j, tp, lp)
 
-    def fwd(toks, lens):
-        out = np.asarray(_dev(toks, lens), np.float64)
-        mant, expo, dead = out[0, :B], out[1, :B], out[2, :B] > 0.5
+    def decode(out, B_=B):
+        """Host decode of the kernel's (8, Bp) output rows: pow2
+        mantissa/exponent -> float64 log-likelihoods (the single place
+        that knows the ESC encoding — forward_stream reuses it)."""
+        out = np.asarray(out, np.float64)
+        mant, expo, dead = out[0, :B_], out[1, :B_], out[2, :B_] > 0.5
         with np.errstate(divide="ignore"):
             ll = np.log(np.maximum(mant, 1e-300)) + expo * np.log(2.0)
         return np.where(dead | (mant <= 0.0), NEG_INF, ll)
 
+    def fwd(toks, lens):
+        return decode(_dev(toks, lens))
+
     fwd.device_call = _dev
+    fwd.decode = decode
     return fwd

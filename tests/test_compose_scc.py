@@ -105,3 +105,38 @@ def test_fn3_multihit_compose_completes_and_agrees_with_fused():
                       length=10.0)
     f_fwd = float(fused.forward(list(read)))
     assert abs(fwd - f_fwd) < 5e-3, (fwd, f_fwd)
+
+
+def test_end_state_inside_silent_scc_uses_exact_legacy_fold():
+    """If the END state sits inside an oversized silent SCC, the
+    SCC-Kleene rewrite cannot represent terminating inside the
+    component; advancing_machine must stay on the exact legacy fold
+    (review finding: the rewrite returned -inf for such machines)."""
+    import machineboss_tpu.core.machine as machine_mod
+    from machineboss_tpu.core.eval import EvaluatedMachine
+    from machineboss_tpu.core.seqpair import SeqPair, NamedSeq
+
+    n_ring = machine_mod.SILENT_SCC_FOLD_LIMIT + 2
+    states = [{"id": "s0", "trans": [
+        {"in": "A", "out": "A", "to": 1, "weight": 0.9}]}]
+    for k in range(1, n_ring + 1):
+        nxt = 1 if k == n_ring else k + 1
+        states.append({"id": "r%d" % k,
+                       "trans": [{"to": nxt, "weight": 0.5}]})
+    # final state = last ring member (no extra end state appended)
+    states[-1]["trans"] = [{"to": 1, "weight": 0.5}]
+    m = Machine.from_json({"state": states})
+    assert m.max_silent_scc_size() > machine_mod.SILENT_SCC_FOLD_LIMIT
+
+    am = m.advancing_machine()
+    ev = EvaluatedMachine(am, am.get_param_defs(True))
+    sp = SeqPair(NamedSeq("x", ["A"]), NamedSeq("y", ["A"]))
+    ll = ForwardMatrix(ev, sp).log_like()
+    assert np.isfinite(ll), ll              # was -inf with the rewrite
+    # direct rewrite on such a machine must refuse loudly, not drop mass
+    try:
+        m.eliminate_silent_cycles()
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

@@ -321,3 +321,7 @@ def test_pallas_fused_plan7_kernel_matches_flat():
         # the public auto-routing entry (interpret on CPU backends)
         got2 = f.forward_batch_tokens(toks, lens, impl="pallas")
         assert np.abs(got2 - want).max() < 2e-3, multihit
+        # the streamed entry must also serve off-TPU (interpret mode)
+        outs = f.forward_stream([(toks, lens)] * 2, impl="pallas")
+        for o in outs:
+            assert np.abs(o - want).max() < 2e-3, multihit

@@ -545,10 +545,16 @@ def main():
                     nb = -(-len(idx) // 64) * 64    # pad group to x64
                     pad = np.concatenate(
                         [idx, np.repeat(idx[-1], nb - len(idx))])
+                    hint_g = None
+                    if variant == "chained_ragged":
+                        from machineboss_tpu.ops.pallas                             .wavefront_kernel import ragged_span
+                        hint_g = ragged_span(il_h[pad], ol_h[pad],
+                                             chain)
                     fwd_g = make_wavefront_forward(
                         a_diag, a_left, a_up, closure, nb, li_g, lo_g,
                         merged=merged, n_chunks=n_chunks, split=split,
-                        variant=variant, chain=chain)
+                        variant=variant, chain=chain,
+                        n_abs_hint=hint_g)
                     args = (jnp.array(it_h[pad][:, :li_g]),
                             jnp.array(ot_h[pad][:, :lo_g]),
                             jnp.array(il_h[pad]),
@@ -560,10 +566,15 @@ def main():
                                        for i, _, _, a in groups])
 
                 def run():
+                    # enqueue every group's device call before pulling
+                    # any result (one batched device_get): the groups
+                    # otherwise serialize on the per-invocation floor
+                    devs = [(idx, n_real, fwd_g(*args))
+                            for idx, n_real, fwd_g, args in groups]
+                    host = jax.device_get([d for _, _, d in devs])
                     out = np.empty(B, np.float32)
-                    for idx, n_real, fwd_g, args in groups:
-                        vals = np.asarray(fwd_g(*args))
-                        out[idx] = vals[:n_real]
+                    for (idx, n_real, _), vals in zip(devs, host):
+                        out[idx] = np.asarray(vals)[:n_real]
                     return jnp.array(out)
             else:
                 hint = None
